@@ -1,0 +1,628 @@
+"""Matrix-free geometric multigrid (the TPU-native replacement for
+AMReX MLMG + MLABecLaplacian + MLNodeLaplacian; cf. reference
+src/diffusion/*, src/projection/incflo_apply_nodal_projection.cpp and
+SURVEY.md section 2.13).
+
+Two operator families:
+
+  CellLinOp  : L(phi) = alpha*a*phi - beta*div(b grad phi), phi at cell
+               centers, b at faces.  Serves the MAC projection
+               (alpha=0, b=1/rho) and the diffusion Helmholtz solves
+               (alpha=1, a=rho, beta=dt, b=eta).
+  NodalLinOp : L(phi) = D(sigma G(phi)), phi at nodes, sigma=dt/rho at
+               cells; G is the cell-average gradient of nodal data and
+               D its (negative-adjoint) nodal divergence -- the
+               Almgren-Bell-Szymczak approximate-projection operator
+               that AMReX's MLNodeLaplacian implements.
+
+Everything is jnp; V-cycles are Python-unrolled over the (static) level
+hierarchy; the outer iteration is a lax.while_loop on the residual
+max-norm against max(rtol*|rhs|_inf, atol), matching MLMG's convergence
+contract (reference incflo.H:342-343 rtol=1e-11, atol=1e-14).
+
+Smoother: red-black Gauss-Seidel with analytic diagonals.
+Restriction: 2^D cell averaging / nodal full-weighting.
+Prolongation: (bi/tri)linear.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class SolverBC(enum.IntEnum):
+    PERIODIC = 0
+    NEUMANN = 1     # homogeneous Neumann (zero flux)
+    DIRICHLET = 2   # value on the domain face
+
+
+# =====================================================================
+# small helpers
+# =====================================================================
+
+def _wrap_pad(x, axis, lo=1, hi=1):
+    parts = []
+    n = x.shape[axis]
+    sl = [slice(None)] * x.ndim
+    if lo:
+        sl[axis] = slice(n - lo, n)
+        parts.append(x[tuple(sl)])
+    parts.append(x)
+    if hi:
+        sl[axis] = slice(0, hi)
+        parts.append(x[tuple(sl)])
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _zero_pad(x, axis, lo=1, hi=1):
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (lo, hi)
+    return jnp.pad(x, widths)
+
+
+def _edge_pad(x, axis, lo=1, hi=1):
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (lo, hi)
+    return jnp.pad(x, widths, mode="edge")
+
+
+def _slice_axis(x, axis, sl):
+    s = [slice(None)] * x.ndim
+    s[axis] = sl
+    return x[tuple(s)]
+
+
+def _checkerboards(shape, dtype):
+    """Red/black masks over the first len(shape) axes."""
+    par = 0
+    for ax, n in enumerate(shape):
+        idx = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
+        par = par + idx
+    red = ((par % 2) == 0).astype(dtype)
+    return red, 1.0 - red
+
+
+def _maxnorm(x):
+    return jnp.max(jnp.abs(x))
+
+
+# =====================================================================
+# Cell-centered operator: alpha*a*phi - beta*div(b grad phi)
+# =====================================================================
+
+@dataclasses.dataclass(frozen=True)
+class CellLevel:
+    """Static+array context for one MG level of a cell-centered solve."""
+    dx: Tuple[float, ...]
+    bc_lo: Tuple[int, ...]        # SolverBC per axis
+    bc_hi: Tuple[int, ...]
+    alpha: float
+    beta: float
+    acoef: Optional[jnp.ndarray]          # (cells) or None (== 0)
+    bcoef: Tuple[jnp.ndarray, ...]        # per axis, faces (n+1 along axis)
+
+
+def _cell_pad_hom(x, lev: CellLevel):
+    """Pad phi by one ghost per axis with homogeneous solver BCs.
+
+    DIRICHLET uses the maxorder-3 ghost  g = -2*phi0 + phi1/3  so the
+    boundary-face gradient is 2nd-order (AMReX MLLinOp default)."""
+    for ax in range(len(lev.dx)):
+        if lev.bc_lo[ax] == SolverBC.PERIODIC:
+            x = _wrap_pad(x, ax)
+            continue
+        n = x.shape[ax]
+        q0l = _slice_axis(x, ax, slice(0, 1))
+        q1l = _slice_axis(x, ax, slice(1, 2)) if n > 1 else q0l
+        q0h = _slice_axis(x, ax, slice(n - 1, n))
+        q1h = _slice_axis(x, ax, slice(n - 2, n - 1)) if n > 1 else q0h
+        lo = q0l if lev.bc_lo[ax] == SolverBC.NEUMANN else (-2.0 * q0l + q1l / 3.0)
+        hi = q0h if lev.bc_hi[ax] == SolverBC.NEUMANN else (-2.0 * q0h + q1h / 3.0)
+        x = jnp.concatenate([lo, x, hi], axis=ax)
+    return x
+
+
+def cell_apply(x, lev: CellLevel):
+    """L(x) with homogeneous BCs."""
+    ndim = len(lev.dx)
+    xp = _cell_pad_hom(x, lev)
+    out = lev.alpha * (lev.acoef * x if lev.acoef is not None else 0.0 * x)
+    for ax in range(ndim):
+        dxi = 1.0 / lev.dx[ax]
+        # bring xp to "padded along ax only" view for this axis
+        v = xp
+        for other in range(ndim):
+            if other != ax:
+                v = _slice_axis(v, other, slice(1, v.shape[other] - 1))
+        grad = (_slice_axis(v, ax, slice(1, None))
+                - _slice_axis(v, ax, slice(0, -1))) * dxi      # n+1 faces
+        flux = lev.bcoef[ax] * grad
+        # zero flux through Neumann domain faces
+        if lev.bc_lo[ax] == SolverBC.NEUMANN:
+            flux = _set_face(flux, ax, 0, 0.0)
+        if lev.bc_hi[ax] == SolverBC.NEUMANN:
+            flux = _set_face(flux, ax, -1, 0.0)
+        div = (_slice_axis(flux, ax, slice(1, None))
+               - _slice_axis(flux, ax, slice(0, -1))) * dxi
+        out = out - lev.beta * div
+    return out
+
+
+def _set_face(flux, axis, idx, val):
+    sl = [slice(None)] * flux.ndim
+    sl[axis] = idx
+    return flux.at[tuple(sl)].set(val)
+
+
+def cell_diag(lev: CellLevel):
+    """Analytic diagonal of cell_apply."""
+    ndim = len(lev.dx)
+    shape = lev.bcoef[0].shape
+    cells = tuple(n - (1 if ax == 0 else 0) for ax, n in enumerate(shape))
+    d = lev.alpha * (lev.acoef if lev.acoef is not None else 0.0)
+    d = jnp.zeros(cells, lev.bcoef[0].dtype) + d
+    for ax in range(ndim):
+        dx2i = 1.0 / (lev.dx[ax] ** 2)
+        b = lev.bcoef[ax]
+        blo = _slice_axis(b, ax, slice(0, -1))
+        bhi = _slice_axis(b, ax, slice(1, None))
+        clo = jnp.ones_like(blo)
+        chi = jnp.ones_like(bhi)
+        # boundary coefficient of phi0 in the boundary-face flux:
+        # Neumann -> 0 ; Dirichlet maxorder-3 ghost -> 3
+        if lev.bc_lo[ax] != SolverBC.PERIODIC:
+            c = 0.0 if lev.bc_lo[ax] == SolverBC.NEUMANN else 3.0
+            clo = _set_face(clo, ax, 0, c)
+        if lev.bc_hi[ax] != SolverBC.PERIODIC:
+            c = 0.0 if lev.bc_hi[ax] == SolverBC.NEUMANN else 3.0
+            chi = _set_face(chi, ax, -1, c)
+        d = d + lev.beta * (blo * clo + bhi * chi) * dx2i
+    return d
+
+
+def _coarsen_cells(a, ndim):
+    """Average 2^ndim children -> coarse cells."""
+    for ax in range(ndim):
+        n = a.shape[ax]
+        a = 0.5 * (_slice_axis(a, ax, slice(0, n, 2))
+                   + _slice_axis(a, ax, slice(1, n, 2)))
+    return a
+
+
+def _coarsen_face(b, axis, ndim):
+    """Coarsen a face coefficient: take fine faces at even normal index,
+    average over the 2^(ndim-1) transverse fine faces."""
+    b = _slice_axis(b, axis, slice(0, b.shape[axis], 2))
+    for ax in range(ndim):
+        if ax == axis:
+            continue
+        n = b.shape[ax]
+        b = 0.5 * (_slice_axis(b, ax, slice(0, n, 2))
+                   + _slice_axis(b, ax, slice(1, n, 2)))
+    return b
+
+
+def _interleave(even, odd, axis):
+    st = jnp.stack([even, odd], axis=axis + 1)
+    shape = list(even.shape)
+    shape[axis] *= 2
+    return st.reshape(shape)
+
+
+def _prolong_cells(c, lev: CellLevel):
+    """(Bi/tri)linear cell-centered prolongation of a correction:
+    fine[2i] = 0.75*c[i] + 0.25*c[i-1], fine[2i+1] = 0.75*c[i] + 0.25*c[i+1]
+    with ghost = wrap (periodic), edge (Neumann), zero (Dirichlet)."""
+    ndim = len(lev.dx)
+    for ax in range(ndim):
+        if lev.bc_lo[ax] == SolverBC.PERIODIC:
+            cp = _wrap_pad(c, ax)
+        else:
+            lo_pad = _edge_pad if lev.bc_lo[ax] == SolverBC.NEUMANN else _zero_pad
+            hi_pad = _edge_pad if lev.bc_hi[ax] == SolverBC.NEUMANN else _zero_pad
+            cp = lo_pad(c, ax, lo=1, hi=0)
+            cp = hi_pad(cp, ax, lo=0, hi=1)
+        mid = _slice_axis(cp, ax, slice(1, cp.shape[ax] - 1))
+        left = _slice_axis(cp, ax, slice(0, cp.shape[ax] - 2))
+        right = _slice_axis(cp, ax, slice(2, cp.shape[ax]))
+        even = 0.75 * mid + 0.25 * left
+        odd = 0.75 * mid + 0.25 * right
+        c = _interleave(even, odd, ax)
+    return c
+
+
+class CellSolver:
+    """Geometric MG for the cell-centered operator on one grid."""
+
+    def __init__(self, dx, bc_lo, bc_hi, alpha, beta, acoef, bcoef,
+                 max_levels=30, nu1=2, nu2=2, nu_bottom=40):
+        ndim = len(dx)
+        self.ndim = ndim
+        self.nu1, self.nu2, self.nu_bottom = nu1, nu2, nu_bottom
+        levels: List[CellLevel] = []
+        lev = CellLevel(tuple(dx), tuple(int(b) for b in bc_lo),
+                        tuple(int(b) for b in bc_hi), alpha, beta,
+                        acoef, tuple(bcoef))
+        cells = acoef.shape if acoef is not None else tuple(
+            bcoef[0].shape[ax] - (1 if ax == 0 else 0) for ax in range(ndim))
+        while True:
+            levels.append(lev)
+            if len(levels) >= max_levels:
+                break
+            if any(n % 2 != 0 or n < 4 for n in cells):
+                break
+            cells = tuple(n // 2 for n in cells)
+            lev = CellLevel(
+                tuple(d * 2 for d in lev.dx), lev.bc_lo, lev.bc_hi,
+                lev.alpha, lev.beta,
+                _coarsen_cells(lev.acoef, ndim) if lev.acoef is not None else None,
+                tuple(_coarsen_face(lev.bcoef[ax], ax, ndim)
+                      for ax in range(ndim)))
+        self.levels = levels
+        self.diags = [cell_diag(l) for l in levels]
+        self.singular = (alpha == 0.0) and all(
+            b != SolverBC.DIRICHLET for b in list(bc_lo) + list(bc_hi))
+
+    # -- smoother ------------------------------------------------------
+    def _smooth(self, x, b, li, n):
+        lev, diag = self.levels[li], self.diags[li]
+        red, black = _checkerboards(x.shape, x.dtype)
+        inv = 1.0 / jnp.where(diag == 0, 1.0, diag)
+
+        def sweep(x, _):
+            x = x + red * (b - cell_apply(x, lev)) * inv
+            x = x + black * (b - cell_apply(x, lev)) * inv
+            return x, None
+
+        x, _ = jax.lax.scan(sweep, x, None, length=n)
+        return x
+
+    def _vcycle(self, x, b, li=0):
+        lev = self.levels[li]
+        if li == len(self.levels) - 1:
+            return self._smooth(x, b, li, self.nu_bottom)
+        x = self._smooth(x, b, li, self.nu1)
+        r = b - cell_apply(x, lev)
+        rc = _coarsen_cells(r, self.ndim)
+        ec = self._vcycle(jnp.zeros_like(rc), rc, li + 1)
+        x = x + _prolong_cells(ec, self.levels[li + 1])
+        x = self._smooth(x, b, li, self.nu2)
+        return x
+
+    def solve(self, rhs, x0=None, rtol=1e-11, atol=1e-14, maxiter=200):
+        """Returns (x, resnorm, iters)."""
+        lev = self.levels[0]
+        if x0 is None:
+            x0 = jnp.zeros_like(rhs)
+        if self.singular:
+            rhs = rhs - jnp.mean(rhs)
+        bnorm = _maxnorm(rhs)
+        tol = jnp.maximum(rtol * bnorm, atol)
+
+        def cond(c):
+            x, res, it = c
+            return jnp.logical_and(res > tol, it < maxiter)
+
+        def body(c):
+            x, _, it = c
+            x = self._vcycle(x, rhs)
+            res = _maxnorm(rhs - cell_apply(x, lev))
+            return x, res, it + 1
+
+        res0 = _maxnorm(rhs - cell_apply(x0, lev))
+        x, res, it = jax.lax.while_loop(cond, body, (x0, res0, jnp.array(0)))
+        if self.singular:
+            x = x - jnp.mean(x)
+        return x, res, it
+
+
+# =====================================================================
+# Nodal operator: L(phi) = D(sigma * G(phi))
+# =====================================================================
+
+@dataclasses.dataclass(frozen=True)
+class NodalLevel:
+    dx: Tuple[float, ...]
+    periodic: Tuple[bool, ...]
+    bc_lo: Tuple[int, ...]
+    bc_hi: Tuple[int, ...]
+    sigma: jnp.ndarray                      # (cells)
+    stencil: Optional[dict] = None          # Delta -> coefficient array (nodes)
+
+    def with_stencil(self):
+        return dataclasses.replace(self, stencil=_nodal_stencil(self))
+
+
+def _nodal_stencil(lev: "NodalLevel") -> dict:
+    """Assemble the Q1 finite-element stencil of -div(sigma grad) at nodes
+    (what AMReX MLNodeLaplacian builds).  For tensor-product Q1 elements
+    the per-element stiffness factorises as
+        K_e = sum_d K1d_d (x) prod_{d'!=d} M1d_{d'}
+    with K1d = (1/h)[[1,-1],[-1,1]] and M1d = (h/6)[[2,1],[1,2]].  Summed
+    over the elements containing a node pair (n, n+Delta), every stencil
+    coefficient becomes a CONSTANT weight w_Delta times a box-sum of
+    sigma over the eligible adjacent cells:
+
+        c_Delta(n) = w_Delta * S_Delta(n),
+        w_Delta = -(1/V) * sum_d K_d(Delta_d) prod_{d'!=d} M_{d'}(Delta_{d'}),
+        K(0)=1/h, K(+-1)=-1/h,  M(0)=h/3, M(+-1)=h/6,
+
+    scaled by -1/cell-volume so L ~ div(sigma grad) (negative
+    semi-definite) and consistent with the cell-average nodal divergence
+    used as RHS.  Crucially this operator has NO checkerboard null mode,
+    unlike the naive D(sigma G) composition."""
+    ndim = len(lev.dx)
+    vol = 1.0
+    for d in lev.dx:
+        vol *= d
+    # sigma padded by one cell per axis (wrap periodic, zero outside walls)
+    s = lev.sigma
+    for ax in range(ndim):
+        s = _wrap_pad(s, ax) if lev.periodic[ax] else _zero_pad(s, ax)
+
+    import itertools
+    stencil = {}
+    for delta in itertools.product((-1, 0, 1), repeat=ndim):
+        # box-sum S_Delta: per axis take cells {n-1,n} (delta=0),
+        # {n} (delta=+1), {n-1} (delta=-1); padded index n-1 -> i, n -> i+1.
+        S = s
+        for ax, dlt in enumerate(delta):
+            n_nodes = lev.sigma.shape[ax] + 1
+            lo = _slice_axis(S, ax, slice(0, n_nodes))
+            hi = _slice_axis(S, ax, slice(1, n_nodes + 1))
+            S = {0: lo + hi, 1: hi, -1: lo}[dlt]
+        # drop duplicated high node on periodic axes
+        for ax in range(ndim):
+            if lev.periodic[ax]:
+                S = _slice_axis(S, ax, slice(0, S.shape[ax] - 1))
+        w = 0.0
+        for d in range(ndim):
+            term = (1.0 / lev.dx[d]) if delta[d] == 0 else (-1.0 / lev.dx[d])
+            for dp in range(ndim):
+                if dp == d:
+                    continue
+                term *= (lev.dx[dp] / 3.0) if delta[dp] == 0 else (lev.dx[dp] / 6.0)
+            w += term
+        stencil[delta] = (-w / vol) * S
+    return stencil
+
+
+def _node_to_cellgrad(phi, lev: NodalLevel, axis):
+    """G_axis: gradient at cell centers from nodal phi
+    (average of the 2^(D-1) node-pair differences / dx)."""
+    ndim = len(lev.dx)
+    # extend phi to n_cells+1 nodes per axis
+    p = phi
+    for ax in range(ndim):
+        if lev.periodic[ax]:
+            p = _wrap_pad(p, ax, lo=0, hi=1)
+    g = (_slice_axis(p, axis, slice(1, None))
+         - _slice_axis(p, axis, slice(0, -1))) / lev.dx[axis]
+    for ax in range(ndim):
+        if ax == axis:
+            continue
+        g = 0.5 * (_slice_axis(g, ax, slice(0, -1))
+                   + _slice_axis(g, ax, slice(1, None)))
+    return g   # (cells)
+
+
+def nodal_divergence(u_pad: Sequence[jnp.ndarray], dx) -> jnp.ndarray:
+    """D: divergence at ALL nodes (n_cells+1 per axis) of a cell-centered
+    vector already padded by ONE ghost per axis (ghosts encode the BC:
+    wrap for periodic, zero for walls, inflow values at mass inflow --
+    exactly the reference's vel.setBndry(0)+set_inflow_velocity before
+    NodalProjector, incflo_apply_nodal_projection.cpp:139-146)."""
+    ndim = len(dx)
+    out = 0.0
+    for axis in range(ndim):
+        t = (_slice_axis(u_pad[axis], axis, slice(1, None))
+             - _slice_axis(u_pad[axis], axis, slice(0, -1))) / dx[axis]
+        for ax in range(ndim):
+            if ax == axis:
+                continue
+            t = 0.5 * (_slice_axis(t, ax, slice(0, -1))
+                       + _slice_axis(t, ax, slice(1, None)))
+        out = out + t
+    return out  # (n+1 per axis) node values
+
+
+def _nodes_unique(x_allnodes, lev: NodalLevel):
+    """Drop the duplicated high node on periodic axes."""
+    for ax in range(len(lev.dx)):
+        if lev.periodic[ax]:
+            x_allnodes = _slice_axis(x_allnodes, ax,
+                                     slice(0, x_allnodes.shape[ax] - 1))
+    return x_allnodes
+
+
+def nodal_apply(phi, lev: NodalLevel):
+    """L(phi) via the assembled FEM stencil (+ identity on Dirichlet rows)."""
+    ndim = len(lev.dx)
+    stencil = lev.stencil
+    assert stencil is not None, "use NodalLevel.with_stencil()"
+    p = phi
+    for ax in range(ndim):
+        p = _wrap_pad(p, ax) if lev.periodic[ax] else _zero_pad(p, ax)
+    out = None
+    n_nodes = phi.shape
+    for delta, c in stencil.items():
+        v = p
+        for ax, dlt in enumerate(delta):
+            v = _slice_axis(v, ax, slice(1 + dlt, 1 + dlt + n_nodes[ax]))
+        out = c * v if out is None else out + c * v
+    out = _apply_dirichlet_mask(out, lev, identity_from=phi)
+    return out
+
+
+def _apply_dirichlet_mask(nodal, lev: NodalLevel, identity_from=None):
+    """Rows of Dirichlet boundary nodes become identity (phi itself)."""
+    for ax in range(len(lev.dx)):
+        if lev.periodic[ax]:
+            continue
+        if lev.bc_lo[ax] == SolverBC.DIRICHLET:
+            src = (_slice_axis(identity_from, ax, slice(0, 1))
+                   if identity_from is not None else 0.0)
+            nodal = _set_slab(nodal, ax, 0, src)
+        if lev.bc_hi[ax] == SolverBC.DIRICHLET:
+            src = (_slice_axis(identity_from, ax, slice(-1, None))
+                   if identity_from is not None else 0.0)
+            nodal = _set_slab(nodal, ax, -1, src)
+    return nodal
+
+
+def _zero_dirichlet(nodal, lev: NodalLevel):
+    return _apply_dirichlet_mask(nodal, lev, identity_from=None)
+
+
+def _set_slab(x, axis, idx, val):
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(0, 1) if idx == 0 else slice(x.shape[axis] - 1, None)
+    if not isinstance(val, (int, float)):
+        return x.at[tuple(sl)].set(val)
+    return x.at[tuple(sl)].set(val)
+
+
+def nodal_diag(lev: NodalLevel):
+    """diag(L): the Delta=0 stencil coefficient; 1 on Dirichlet rows."""
+    ndim = len(lev.dx)
+    d = lev.stencil[(0,) * ndim]
+    # Dirichlet rows: identity
+    for ax in range(ndim):
+        if lev.periodic[ax]:
+            continue
+        if lev.bc_lo[ax] == SolverBC.DIRICHLET:
+            d = _set_slab(d, ax, 0, jnp.ones_like(_slice_axis(d, ax, slice(0, 1))))
+        if lev.bc_hi[ax] == SolverBC.DIRICHLET:
+            d = _set_slab(d, ax, -1, jnp.ones_like(_slice_axis(d, ax, slice(-1, None))))
+    return d
+
+
+def _restrict_nodal(r, lev_f: NodalLevel):
+    """Full-weighting (1/4,1/2,1/4)^D onto coincident coarse nodes."""
+    ndim = len(lev_f.dx)
+    for ax in range(ndim):
+        if lev_f.periodic[ax]:
+            rp = _wrap_pad(r, ax)
+        else:
+            rp = _zero_pad(r, ax)
+        mid = _slice_axis(rp, ax, slice(1, rp.shape[ax] - 1))
+        left = _slice_axis(rp, ax, slice(0, rp.shape[ax] - 2))
+        right = _slice_axis(rp, ax, slice(2, rp.shape[ax]))
+        fw = 0.25 * left + 0.5 * mid + 0.25 * right
+        r = _slice_axis(fw, ax, slice(0, fw.shape[ax], 2))
+    return r
+
+
+def _prolong_nodal(c, lev_f: NodalLevel):
+    """Linear nodal prolongation: even fine nodes copy, odd average."""
+    ndim = len(lev_f.dx)
+    for ax in range(ndim):
+        if lev_f.periodic[ax]:
+            cp = _wrap_pad(c, ax, lo=0, hi=1)
+            even = _slice_axis(cp, ax, slice(0, -1))
+            odd = 0.5 * (_slice_axis(cp, ax, slice(0, -1))
+                         + _slice_axis(cp, ax, slice(1, None)))
+            c = _interleave(even, odd, ax)
+        else:
+            even = c
+            odd = 0.5 * (_slice_axis(c, ax, slice(0, -1))
+                         + _slice_axis(c, ax, slice(1, None)))
+            # interleave then append the last even node
+            body = _interleave(_slice_axis(even, ax, slice(0, -1)), odd, ax)
+            c = jnp.concatenate([body, _slice_axis(even, ax, slice(-1, None))],
+                                axis=ax)
+    return c
+
+
+class NodalSolver:
+    """Geometric MG for the nodal sigma-Poisson (the north-star solver)."""
+
+    def __init__(self, dx, periodic, bc_lo, bc_hi, sigma,
+                 max_levels=30, nu1=2, nu2=2, nu_bottom=60):
+        ndim = len(dx)
+        self.ndim = ndim
+        self.nu1, self.nu2, self.nu_bottom = nu1, nu2, nu_bottom
+        levels: List[NodalLevel] = []
+        lev = NodalLevel(tuple(dx), tuple(periodic),
+                         tuple(int(b) for b in bc_lo),
+                         tuple(int(b) for b in bc_hi), sigma)
+        cells = sigma.shape
+        while True:
+            levels.append(lev.with_stencil())
+            if len(levels) >= max_levels:
+                break
+            if any(n % 2 != 0 or n < 4 for n in cells):
+                break
+            cells = tuple(n // 2 for n in cells)
+            lev = NodalLevel(tuple(d * 2 for d in lev.dx), lev.periodic,
+                             lev.bc_lo, lev.bc_hi,
+                             _coarsen_cells(lev.sigma, ndim))
+        self.levels = levels
+        self.diags = [nodal_diag(l) for l in levels]
+        self.singular = all(
+            b != SolverBC.DIRICHLET for b in list(bc_lo) + list(bc_hi))
+
+    def _smooth(self, x, b, li, n):
+        lev, diag = self.levels[li], self.diags[li]
+        red, black = _checkerboards(x.shape, x.dtype)
+        inv = 1.0 / jnp.where(diag == 0, 1.0, diag)
+
+        def sweep(x, _):
+            x = x + red * (b - nodal_apply(x, lev)) * inv
+            x = x + black * (b - nodal_apply(x, lev)) * inv
+            return x, None
+
+        x, _ = jax.lax.scan(sweep, x, None, length=n)
+        return x
+
+    def _vcycle(self, x, b, li=0):
+        lev = self.levels[li]
+        if li == len(self.levels) - 1:
+            return self._smooth(x, b, li, self.nu_bottom)
+        x = self._smooth(x, b, li, self.nu1)
+        r = b - nodal_apply(x, lev)
+        r = _zero_dirichlet(r, lev)
+        rc = _restrict_nodal(r, lev)
+        rc = _zero_dirichlet(rc, self.levels[li + 1])
+        ec = self._vcycle(jnp.zeros_like(rc), rc, li + 1)
+        x = x + _prolong_nodal(ec, lev)
+        x = self._smooth(x, b, li, self.nu2)
+        return x
+
+    def solve(self, rhs, x0=None, rtol=1e-11, atol=1e-14, maxiter=100):
+        lev = self.levels[0]
+        if x0 is None:
+            x0 = jnp.zeros_like(rhs)
+        if self.singular:
+            rhs = rhs - jnp.mean(rhs)
+        rhs = _zero_dirichlet(rhs, lev)
+        bnorm = _maxnorm(rhs)
+        tol = jnp.maximum(rtol * bnorm, atol)
+
+        def cond(c):
+            x, res, it = c
+            return jnp.logical_and(res > tol, it < maxiter)
+
+        def body(c):
+            x, _, it = c
+            x = self._vcycle(x, rhs)
+            res = _maxnorm(rhs - nodal_apply(x, lev))
+            return x, res, it + 1
+
+        res0 = _maxnorm(rhs - nodal_apply(x0, lev))
+        x, res, it = jax.lax.while_loop(cond, body, (x0, res0, jnp.array(0)))
+        if self.singular:
+            x = x - jnp.mean(x)
+        return x, res, it
+
+    # gradient of phi at cell centers (for gp update / velocity correction)
+    def grad_at_cells(self, phi):
+        lev = self.levels[0]
+        return jnp.stack(
+            [_node_to_cellgrad(phi, lev, ax) for ax in range(self.ndim)],
+            axis=-1)
