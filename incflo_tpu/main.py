@@ -1,0 +1,114 @@
+"""CLI driver: the `incflo` executable analog.
+
+Usage:  python -m incflo_tpu.main <inputs-file> [key=value ...]
+
+Mirrors reference src/main.cpp + incflo::Evolve (src/incflo.cpp:106-166):
+reads a ParmParse deck, initializes (or restarts), evolves with the
+plot/checkpoint cadence, and prints the same style of step/timing lines.
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time as wallclock
+
+import jax
+
+
+def write_now(step: int, t: float, dt: float, last_plt: int, cfg) -> bool:
+    """reference incflo::writeNow (incflo.cpp:221-266)."""
+    if cfg.plot_int > 0:
+        return step % cfg.plot_int == 0
+    if cfg.plot_per_exact > 0:
+        eps = 1.0e-14
+        return abs(math.remainder(t, cfg.plot_per_exact)) < eps * max(1.0, abs(t)) \
+            or abs((t / cfg.plot_per_exact) - round(t / cfg.plot_per_exact)) < 1e-10
+    if cfg.plot_per_approx > 0:
+        eps = 1.0e-14
+        n_prev = int((t - dt + eps) / cfg.plot_per_approx)
+        n_now = int((t + eps) / cfg.plot_per_approx)
+        return n_now > n_prev
+    return False
+
+
+def run(argv):
+    if not argv:
+        print("usage: python -m incflo_tpu.main <inputs-file> [key=value ...]")
+        return 2
+
+    from incflo_tpu.config import IncfloConfig
+    cfg = IncfloConfig.from_file(argv[0], argv[1:])
+
+    if cfg.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    from incflo_tpu.simulation import Simulation
+    from incflo_tpu.utils import io
+
+    sim = Simulation(cfg)
+
+    t0 = wallclock.time()
+    if cfg.restart_file:
+        print(f"Restarting from checkpoint {cfg.restart_file}")
+        s = io.read_checkpoint(cfg.restart_file, cfg, sim.dtype)
+        if cfg.plotfile_on_restart:
+            path = f"{cfg.plot_file}{int(s.step):05d}"
+            io.write_plotfile(path, s, cfg, sim)
+    else:
+        s = sim.init_state()
+        if cfg.check_int > 0:
+            io.write_checkpoint(f"{cfg.check_file}{int(s.step):05d}", s, cfg)
+        if cfg.plot_int > 0 or cfg.plot_per_exact > 0 or cfg.plot_per_approx > 0:
+            path = f"{cfg.plot_file}{int(s.step):05d}"
+            io.write_plotfile(path, s, cfg, sim)
+            io.write_job_info(path, cfg)
+    init_time = wallclock.time() - t0
+    print(f"Time spent in InitData():    {init_time}")
+
+    t0 = wallclock.time()
+    last_plt = -1
+    last_chk = -1
+    nsteps = 0
+    while True:
+        t, step = float(s.t), int(s.step)
+        if cfg.stop_time >= 0 and t >= cfg.stop_time - 1e-15:
+            break
+        if cfg.max_step >= 0 and step >= cfg.max_step:
+            break
+
+        step_t0 = wallclock.time()
+        s = sim.advance(s)
+        jax.block_until_ready(s.level.velocity)
+        nsteps += 1
+        t, step, dt = float(s.t), int(s.step), float(s.dt)
+        if cfg.verbose > 0:
+            print(f"Step {step} : t = {t:.12g}, dt = {dt:.12g} "
+                  f"[{wallclock.time()-step_t0:.3f}s]")
+
+        if write_now(step, t, dt, last_plt, cfg):
+            path = f"{cfg.plot_file}{step:05d}"
+            io.write_plotfile(path, s, cfg, sim)
+            io.write_job_info(path, cfg)
+            last_plt = step
+        if cfg.check_int > 0 and step % cfg.check_int == 0:
+            io.write_checkpoint(f"{cfg.check_file}{step:05d}", s, cfg)
+            last_chk = step
+
+    evolve_time = wallclock.time() - t0
+    print(f"Time spent in Evolve():    {evolve_time}")
+    if nsteps:
+        print(f"Time per step:    {evolve_time/nsteps}")
+
+    # final outputs (reference Evolve tail)
+    t, step = float(s.t), int(s.step)
+    if cfg.plot_int > 0 or cfg.plot_per_exact > 0 or cfg.plot_per_approx > 0:
+        if step != last_plt:
+            io.write_plotfile(f"{cfg.plot_file}{step:05d}", s, cfg, sim)
+    if cfg.check_int > 0 and step != last_chk:
+        io.write_checkpoint(f"{cfg.check_file}{step:05d}", s, cfg)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run(sys.argv[1:]))

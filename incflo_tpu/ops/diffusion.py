@@ -1,0 +1,282 @@
+"""Viscous/diffusive terms: explicit applies and implicit Helmholtz solves.
+
+Replaces the reference's DiffusionTensorOp/DiffusionScalarOp (MLTensorOp /
+MLABecLaplacian + MLMG; src/diffusion/*.cpp):
+
+  diffuse_velocity : (rho - dt div(eta grad)) u = rho u*   per component
+                     (+ explicit transpose-term correction in tensor mode)
+  diffuse_scalar   : (rho - dt div(mu_s grad)) s = rho s*  per tracer
+  compute_divtau   : div(tau)/rho, tau = eta(grad u + grad u^T) (tensor)
+                     or eta grad u (scalar mode)
+  compute_laps     : div(mu_s grad s)  (NOT divided by rho)
+
+BC maps follow reference incflo_diffusion.cpp:105-233:
+  velocity: mass_inflow/no_slip -> Dirichlet(bc value); slip wall: normal
+            Dirichlet / tangential Neumann; pressure -> Neumann
+  scalar  : mass_inflow -> Dirichlet(bc value); everything else Neumann
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from incflo_tpu import bcs
+from incflo_tpu.bcs import BCKind
+from incflo_tpu.config import IncfloConfig
+from incflo_tpu.grid import Grid
+from incflo_tpu.ops import multigrid as mg
+from incflo_tpu.ops.stencil import window
+
+
+# ---------------------------------------------------------------------
+# BC maps
+# ---------------------------------------------------------------------
+
+def velocity_solver_bc(cfg: IncfloConfig, comp: int):
+    ndim = cfg.ndim
+    lo, hi = [], []
+    for ax in range(ndim):
+        for side, out in ((0, lo), (1, hi)):
+            if cfg.grid.periodic[ax]:
+                out.append(mg.SolverBC.PERIODIC)
+                continue
+            k = BCKind(int(cfg.bc_kind[ax, side]))
+            if k in (BCKind.mass_inflow, BCKind.no_slip_wall):
+                out.append(mg.SolverBC.DIRICHLET)
+            elif k == BCKind.slip_wall:
+                out.append(mg.SolverBC.DIRICHLET if comp == ax
+                           else mg.SolverBC.NEUMANN)
+            else:   # pressure in/out
+                out.append(mg.SolverBC.NEUMANN)
+    return lo, hi
+
+
+def scalar_solver_bc(cfg: IncfloConfig):
+    ndim = cfg.ndim
+    lo, hi = [], []
+    for ax in range(ndim):
+        for side, out in ((0, lo), (1, hi)):
+            if cfg.grid.periodic[ax]:
+                out.append(mg.SolverBC.PERIODIC)
+                continue
+            k = BCKind(int(cfg.bc_kind[ax, side]))
+            out.append(mg.SolverBC.DIRICHLET if k == BCKind.mass_inflow
+                       else mg.SolverBC.NEUMANN)
+    return lo, hi
+
+
+def velocity_bvals(cfg: IncfloConfig, comp: int, dtype) -> Dict:
+    """Dirichlet face values for velocity component `comp`, including the
+    probtype inflow profiles."""
+    ev = cfg.velocity_ext_values()
+    out = {}
+    for ax in range(cfg.ndim):
+        if cfg.grid.periodic[ax]:
+            continue
+        for side in range(2):
+            out[(ax, side)] = ev.slab(ax, side, comp, [0] * cfg.ndim, dtype)
+    return out
+
+
+def tracer_bvals(cfg: IncfloConfig, comp: int, dtype) -> Dict:
+    out = {}
+    for ax in range(cfg.ndim):
+        if cfg.grid.periodic[ax]:
+            continue
+        for side in range(2):
+            out[(ax, side)] = jnp.asarray(cfg.bc_tracer[ax, side, comp], dtype)
+    return out
+
+
+# ---------------------------------------------------------------------
+# eta cell -> face averaging (reference average_velocity_eta_to_faces,
+# incflo_diffusion.cpp:235-283 + domain-face fixup :285-359)
+# ---------------------------------------------------------------------
+
+def eta_to_faces(eta_g1: jnp.ndarray, grid: Grid) -> List[jnp.ndarray]:
+    """eta grown by 1 -> arithmetic average on all faces; on non-periodic
+    domain faces copy the adjacent interior cell value (the reference's
+    fixup_eta_on_domain_faces)."""
+    out = []
+    for d in range(grid.ndim):
+        e = eta_g1
+        for ax in range(grid.ndim):
+            if ax != d:
+                e = window(e, ax, 1, 1)
+        face = 0.5 * (window(e, d, 0, 1) + window(e, d, 1, 0))
+        if not grid.periodic[d]:
+            inner = window(e, d, 1, 1)
+            face = _set_face(face, d, 0, _face_slab(inner, d, 0))
+            face = _set_face(face, d, -1, _face_slab(inner, d, -1))
+        out.append(face)
+    return out
+
+
+def _face_slab(a, axis, idx):
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(0, 1) if idx == 0 else slice(a.shape[axis] - 1, None)
+    return a[tuple(sl)]
+
+
+def _set_face(a, axis, idx, val):
+    sl = [slice(None)] * a.ndim
+    sl[axis] = slice(0, 1) if idx == 0 else slice(a.shape[axis] - 1, None)
+    return a.at[tuple(sl)].set(val)
+
+
+# ---------------------------------------------------------------------
+# explicit applies
+# ---------------------------------------------------------------------
+
+def compute_laps(tracer: jnp.ndarray, eta_faces_per_comp, cfg: IncfloConfig,
+                 grid: Grid) -> jnp.ndarray:
+    """div(mu_s grad s) per tracer component (inhomogeneous BCs)."""
+    dtype = tracer.dtype
+    bc_lo, bc_hi = scalar_solver_bc(cfg)
+    out = []
+    for n in range(tracer.shape[-1]):
+        lev = mg.CellLevel(grid.dx, tuple(bc_lo), tuple(bc_hi),
+                           alpha=0.0, beta=1.0, acoef=None,
+                           bcoef=tuple(eta_faces_per_comp[n]))
+        # L = -div(mu grad); laps = -L
+        out.append(-mg.cell_apply_inhom(tracer[..., n], lev,
+                                        tracer_bvals(cfg, n, dtype)))
+    return jnp.stack(out, axis=-1)
+
+
+def compute_divtau(vel: jnp.ndarray, vel_g: jnp.ndarray, rho: jnp.ndarray,
+                   eta_faces, eta_g1: jnp.ndarray, cfg: IncfloConfig,
+                   grid: Grid, ng: int) -> jnp.ndarray:
+    """divtau = div(tau) / rho.
+
+    Scalar part div(eta grad u_c) uses the operator-consistent fluxes with
+    the physical Dirichlet values.  In tensor mode the transpose term
+    sum_d d_d(eta d_c u_d) is added from the state-grown velocity
+    (reference DiffusionTensorOp::compute_divtau)."""
+    dtype = vel.dtype
+    ndim = grid.ndim
+
+    if cfg.use_tensor_correction:
+        # "divtau" is the DIFFERENCE of tensor and scalar divtau -- just
+        # the transpose term (reference incflo_diffusion.cpp:11-53 +
+        # predictor comment "divtau_o is the difference...").
+        return _transpose_term(vel_g, eta_g1, grid, ng) / rho[..., None]
+
+    parts = []
+    for c in range(ndim):
+        bc_lo, bc_hi = velocity_solver_bc(cfg, c)
+        lev = mg.CellLevel(grid.dx, tuple(bc_lo), tuple(bc_hi),
+                           alpha=0.0, beta=1.0, acoef=None,
+                           bcoef=tuple(eta_faces))
+        lap = -mg.cell_apply_inhom(vel[..., c], lev,
+                                   velocity_bvals(cfg, c, dtype))
+        parts.append(lap)
+    divtau = jnp.stack(parts, axis=-1)
+
+    if cfg.use_tensor_solve:
+        divtau = divtau + _transpose_term(vel_g, eta_g1, grid, ng)
+
+    return divtau / rho[..., None]
+
+
+def _transpose_term(vel_g: jnp.ndarray, eta_g1: jnp.ndarray, grid: Grid,
+                    ng: int) -> jnp.ndarray:
+    """sum_d d/dx_d [ eta * d u_d / dx_c ]  for each component c.
+
+    Fluxes on d-faces: eta_face * (du_d/dx_c)|face, where for c == d the
+    derivative is the compact face difference and for c != d it is the
+    average of cell-centered central derivatives of u_d wrt x_c."""
+    ndim = grid.ndim
+    out = [0.0] * ndim
+
+    def interior(a, skip_axis=None, extra=0):
+        for ax in range(ndim):
+            t = ng - (1 if ax == skip_axis else 0) - extra
+            a = window(a, ax, t, t)
+        return a
+
+    for d in range(ndim):   # face direction / flux axis
+        # eta on d-faces incl. boundary faces: average of grown-by-1 eta
+        e = eta_g1
+        for ax in range(ndim):
+            if ax != d:
+                e = window(e, ax, 1, 1)
+        eta_f = 0.5 * (window(e, d, 0, 1) + window(e, d, 1, 0))
+        for c in range(ndim):   # component receiving the flux divergence
+            if c == d:
+                # d u_d/dx_d at d-faces: compact difference of u_d
+                u = vel_g[..., d]
+                for ax in range(ndim):
+                    if ax != d:
+                        u = window(u, ax, ng, ng)
+                u = window(u, d, ng - 1, ng - 1)
+                dudx = (window(u, d, 1, 0) - window(u, d, 0, 1)) / grid.dx[d]
+            else:
+                # d u_d/dx_c at cell centers (central), then avg to d-faces
+                u = vel_g[..., d]
+                g = 0.5 * (window(u, c, 2, 0) - window(u, c, 0, 2)) / grid.dx[c]
+                # g covers cells grown by ng-1 along c, ng elsewhere;
+                # trim to grown-by-1 along d, interior on other axes
+                for ax in range(ndim):
+                    if ax == c:
+                        t = (ng - 1) - (1 if ax == d else 0)
+                    else:
+                        t = ng - (1 if ax == d else 0)
+                    g = window(g, ax, t, t)
+                dudx = 0.5 * (window(g, d, 0, 1) + window(g, d, 1, 0))
+            flux = eta_f * dudx
+            div = (window(flux, d, 1, 0) - window(flux, d, 0, 1)) / grid.dx[d]
+            out[c] = out[c] + div
+    return jnp.stack(out, axis=-1)
+
+
+# ---------------------------------------------------------------------
+# implicit solves
+# ---------------------------------------------------------------------
+
+def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
+                     dt_diff, cfg: IncfloConfig, grid: Grid,
+                     rtol=None, atol=None):
+    """(rho - dt div(eta grad)) u = rho u*  component-at-a-time
+    (reference DiffusionScalarOp::diffuse_vel_components /
+    DiffusionTensorOp::diffuse_velocity; the transpose coupling of the
+    full tensor solve is handled explicitly by the caller in tensor mode)."""
+    dtype = vel.dtype
+    rtol = cfg.diff_mg_rtol if rtol is None else rtol
+    atol = cfg.diff_mg_atol if atol is None else atol
+    comps = []
+    for c in range(grid.ndim):
+        bc_lo, bc_hi = velocity_solver_bc(cfg, c)
+        solver = mg.CellSolver(grid.dx, bc_lo, bc_hi, alpha=1.0,
+                               beta=dt_diff, acoef=rho,
+                               bcoef=tuple(eta_faces))
+        rhs = rho * vel[..., c]
+        x, res, it = solver.solve_inhom(rhs, velocity_bvals(cfg, c, dtype),
+                                        x0=vel[..., c], rtol=rtol, atol=atol,
+                                        maxiter=cfg.diff_mg_maxiter)
+        comps.append(x)
+    return jnp.stack(comps, axis=-1)
+
+
+def diffuse_scalar(tracer: jnp.ndarray, rho: jnp.ndarray, eta_faces_per_comp,
+                   dt_diff, cfg: IncfloConfig, grid: Grid,
+                   rtol=None, atol=None):
+    """(rho - dt div(mu grad)) s = rho s* per tracer."""
+    dtype = tracer.dtype
+    rtol = cfg.diff_mg_rtol if rtol is None else rtol
+    atol = cfg.diff_mg_atol if atol is None else atol
+    bc_lo, bc_hi = scalar_solver_bc(cfg)
+    comps = []
+    for n in range(tracer.shape[-1]):
+        solver = mg.CellSolver(grid.dx, bc_lo, bc_hi, alpha=1.0,
+                               beta=dt_diff, acoef=rho,
+                               bcoef=tuple(eta_faces_per_comp[n]))
+        rhs = rho * tracer[..., n]
+        x, res, it = solver.solve_inhom(rhs, tracer_bvals(cfg, n, dtype),
+                                        x0=tracer[..., n], rtol=rtol,
+                                        atol=atol, maxiter=cfg.diff_mg_maxiter)
+        comps.append(x)
+    return jnp.stack(comps, axis=-1)

@@ -127,11 +127,74 @@ def _cell_pad_hom(x, lev: CellLevel):
     return x
 
 
-def cell_apply(x, lev: CellLevel):
-    """L(x) with homogeneous BCs."""
+def _cell_pad_inhom(x, lev: CellLevel, bvals):
+    """Like _cell_pad_hom but with inhomogeneous Dirichlet face values:
+    ghost = (8/3) b - 2 phi0 + phi1/3 (maxorder 3).  `bvals` maps
+    (axis, side) -> face-value array broadcastable over the ghost slab
+    (only consulted for DIRICHLET sides)."""
+    for ax in range(len(lev.dx)):
+        if lev.bc_lo[ax] == SolverBC.PERIODIC:
+            x = _wrap_pad(x, ax)
+            continue
+        n = x.shape[ax]
+        q0l = _slice_axis(x, ax, slice(0, 1))
+        q1l = _slice_axis(x, ax, slice(1, 2)) if n > 1 else q0l
+        q0h = _slice_axis(x, ax, slice(n - 1, n))
+        q1h = _slice_axis(x, ax, slice(n - 2, n - 1)) if n > 1 else q0h
+        if lev.bc_lo[ax] == SolverBC.NEUMANN:
+            lo = q0l
+        else:
+            bv = bvals.get((ax, 0), 0.0)
+            lo = (8.0 / 3.0) * (bv + 0.0 * q0l) - 2.0 * q0l + q1l / 3.0
+        if lev.bc_hi[ax] == SolverBC.NEUMANN:
+            hi = q0h
+        else:
+            bv = bvals.get((ax, 1), 0.0)
+            hi = (8.0 / 3.0) * (bv + 0.0 * q0h) - 2.0 * q0h + q1h / 3.0
+        x = jnp.concatenate([lo, x, hi], axis=ax)
+    return x
+
+
+def cell_fluxes_inhom(x, lev: CellLevel, bvals):
+    """b*grad(x) on all faces with inhomogeneous Dirichlet values."""
+    ndim = len(lev.dx)
+    xp = _cell_pad_inhom(x, lev, bvals)
+    fluxes = []
+    for ax in range(ndim):
+        dxi = 1.0 / lev.dx[ax]
+        v = xp
+        for other in range(ndim):
+            if other != ax:
+                v = _slice_axis(v, other, slice(1, v.shape[other] - 1))
+        grad = (_slice_axis(v, ax, slice(1, None))
+                - _slice_axis(v, ax, slice(0, -1))) * dxi
+        flux = lev.bcoef[ax] * grad
+        if lev.bc_lo[ax] == SolverBC.NEUMANN:
+            flux = _set_face(flux, ax, 0, 0.0)
+        if lev.bc_hi[ax] == SolverBC.NEUMANN:
+            flux = _set_face(flux, ax, -1, 0.0)
+        fluxes.append(flux)
+    return fluxes
+
+
+def cell_apply_inhom(x, lev: CellLevel, bvals):
+    """L(x) with inhomogeneous Dirichlet boundary values."""
+    out = lev.alpha * (lev.acoef * x if lev.acoef is not None else 0.0 * x)
+    for ax, flux in enumerate(cell_fluxes_inhom(x, lev, bvals)):
+        dxi = 1.0 / lev.dx[ax]
+        div = (_slice_axis(flux, ax, slice(1, None))
+               - _slice_axis(flux, ax, slice(0, -1))) * dxi
+        out = out - lev.beta * div
+    return out
+
+
+def cell_fluxes(x, lev: CellLevel):
+    """b * grad(x) on the n+1 faces of every axis (homogeneous BCs);
+    the discrete fluxes the operator divergences.  Also the MAC-projection
+    velocity correction (MacProjector's getFluxes analog)."""
     ndim = len(lev.dx)
     xp = _cell_pad_hom(x, lev)
-    out = lev.alpha * (lev.acoef * x if lev.acoef is not None else 0.0 * x)
+    fluxes = []
     for ax in range(ndim):
         dxi = 1.0 / lev.dx[ax]
         # bring xp to "padded along ax only" view for this axis
@@ -147,6 +210,16 @@ def cell_apply(x, lev: CellLevel):
             flux = _set_face(flux, ax, 0, 0.0)
         if lev.bc_hi[ax] == SolverBC.NEUMANN:
             flux = _set_face(flux, ax, -1, 0.0)
+        fluxes.append(flux)
+    return fluxes
+
+
+def cell_apply(x, lev: CellLevel):
+    """L(x) with homogeneous BCs."""
+    ndim = len(lev.dx)
+    out = lev.alpha * (lev.acoef * x if lev.acoef is not None else 0.0 * x)
+    for ax, flux in enumerate(cell_fluxes(x, lev)):
+        dxi = 1.0 / lev.dx[ax]
         div = (_slice_axis(flux, ax, slice(1, None))
                - _slice_axis(flux, ax, slice(0, -1))) * dxi
         out = out - lev.beta * div
@@ -319,6 +392,17 @@ class CellSolver:
         if self.singular:
             x = x - jnp.mean(x)
         return x, res, it
+
+    def solve_inhom(self, rhs, bvals, x0=None, rtol=1e-11, atol=1e-14,
+                    maxiter=200):
+        """Solve with inhomogeneous Dirichlet face values `bvals`
+        ((axis, side) -> value).  The affine boundary contribution is
+        folded into the RHS; the MG iteration stays homogeneous."""
+        lev = self.levels[0]
+        zero = jnp.zeros_like(rhs)
+        offset = cell_apply_inhom(zero, lev, bvals)
+        return self.solve(rhs - offset, x0=x0, rtol=rtol, atol=atol,
+                          maxiter=maxiter)
 
 
 # =====================================================================

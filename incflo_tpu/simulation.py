@@ -1,0 +1,488 @@
+"""The time integrator: Advance = ComputeDt -> ApplyPredictor
+[-> ApplyCorrector (MOL)] -> projection, one jit-compiled XLA program.
+
+Orchestration mirrors reference src/incflo_advance.cpp,
+src/incflo_apply_predictor.cpp, src/incflo_apply_corrector.cpp,
+src/incflo_compute_dt.cpp, src/incflo_compute_forces.cpp and
+src/projection/incflo_apply_nodal_projection.cpp, re-expressed
+functionally: state arrays carry no ghosts, old/new pairs are function
+inputs/outputs, and every solver is a matrix-free multigrid from
+ops/multigrid.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from incflo_tpu import bcs, probs
+from incflo_tpu.bcs import BCKind
+from incflo_tpu.config import DiffusionType, IncfloConfig
+from incflo_tpu.grid import Grid
+from incflo_tpu.ops import diffusion, mac_projection, mol
+from incflo_tpu.ops import multigrid as mg
+from incflo_tpu.ops import rheology
+from incflo_tpu.ops.stencil import inner, window
+from incflo_tpu.state import LevelState, SimState, zeros_level
+
+
+class Simulation:
+    """Single-level incompressible Navier-Stokes engine (AMR in levels.py)."""
+
+    def __init__(self, cfg: IncfloConfig):
+        self.cfg = cfg
+        self.grid = cfg.grid
+        self.dtype = jnp.dtype(cfg.dtype)
+        # static BC tables
+        self.vel_bcrec = cfg.velocity_bcrecs()
+        self.den_bcrec = cfg.density_bcrecs()
+        self.tra_bcrec = cfg.tracer_bcrecs()
+        self.vel_ev = cfg.velocity_ext_values()
+        self.den_ev = cfg.density_ext_values()
+        self.tra_ev = cfg.tracer_ext_values()
+        self._advance = jax.jit(self._advance_impl)
+        self._initial_iteration = jax.jit(self._initial_iteration_impl)
+        self._init_project = jax.jit(self._initial_projection_impl)
+
+    # ------------------------------------------------------------------
+    # ghost fills (fillpatch equivalents -- physical BCs only, one level)
+    # ------------------------------------------------------------------
+    def grow_vel(self, vel, ng):
+        return bcs.grow(vel, ng, self.grid, self.vel_bcrec, self.vel_ev)
+
+    def grow_rho(self, rho, ng):
+        return bcs.grow_scalar(rho, ng, self.grid, self.den_bcrec, self.den_ev)
+
+    def grow_tra(self, tra, ng):
+        return bcs.grow(tra, ng, self.grid, self.tra_bcrec, self.tra_ev)
+
+    # ------------------------------------------------------------------
+    # forces (reference incflo_compute_forces.cpp)
+    # ------------------------------------------------------------------
+    def compute_vel_forces(self, rho, tra_o, tra_n, gp,
+                           include_pressure_gradient=True):
+        cfg = self.cfg
+        nd = self.grid.ndim
+        rhoinv = 1.0 / rho
+        g = jnp.asarray(cfg.gravity[:nd], self.dtype)
+        if cfg.use_boussinesq:
+            ft = 0.5 * (tra_o[..., 0] + tra_n[..., 0])
+            f = g * ft[..., None]
+            if include_pressure_gradient:
+                f = f - gp * rhoinv[..., None]
+            return f
+        gp0 = jnp.asarray(cfg.gp0[:nd], self.dtype)
+        if include_pressure_gradient:
+            return -(gp + gp0) * rhoinv[..., None] + g
+        return -gp0 * rhoinv[..., None] + g
+
+    def compute_tra_forces(self, rho):
+        """External scalar forcing (zero; reference :5-32). Returns the
+        force for (rho s)."""
+        return jnp.zeros(self.grid.cell_shape + (self.cfg.ntrac,), self.dtype)
+
+    # ------------------------------------------------------------------
+    # dt (reference incflo_compute_dt.cpp: Kang et al. CFL formula)
+    # ------------------------------------------------------------------
+    def compute_dt(self, vel, rho, vel_forces, s: SimState,
+                   initialization=False):
+        cfg = self.cfg
+        grid = self.grid
+        dxinv = jnp.asarray([1.0 / d for d in grid.dx], self.dtype)
+        conv_cfl = jnp.max(jnp.abs(vel) * dxinv)
+        forc_cfl = jnp.max(jnp.abs(vel_forces) * dxinv)
+        explicit_diffusion = cfg.diff_type == DiffusionType.Explicit
+        if explicit_diffusion:
+            diff_cfl = (jnp.max(1.0 / rho) * cfg.mu
+                        * 2.0 * jnp.sum(dxinv * dxinv))
+            cd_cfl = conv_cfl + diff_cfl
+        else:
+            cd_cfl = conv_cfl
+        comb_cfl = cd_cfl + jnp.sqrt(cd_cfl * cd_cfl + 4.0 * forc_cfl)
+        dt_new = 2.0 * cfg.cfl / jnp.maximum(comb_cfl, 1e-300)
+        if initialization:
+            dt_new = dt_new * cfg.init_shrink
+        eps = jnp.finfo(self.dtype).eps
+        dt_new = jnp.where(comb_cfl <= eps, 0.5 * s.dt, dt_new)
+
+        # 10% growth limiter (relaxed if last step was shrunk to hit a
+        # plot_per_exact time, tracked via s.step==last_plt upstream)
+        factor = 1.1
+        grow_cap = factor * jnp.where(
+            jnp.logical_and(cfg.plot_per_exact > 0, s.prev_dt < s.prev_prev_dt),
+            jnp.maximum(s.prev_dt, s.prev_prev_dt), s.dt)
+        dt_new = jnp.where(s.dt > 0.0, jnp.minimum(dt_new, grow_cap), dt_new)
+
+        # don't overshoot plot_per_exact times
+        if cfg.plot_per_exact > 0:
+            per = cfg.plot_per_exact
+            crossing = (jnp.trunc((s.t + dt_new + eps) / per)
+                        > jnp.trunc((s.t + eps) / per))
+            dt_clamped = jnp.trunc((s.t + dt_new) / per) * per - s.t
+            dt_new = jnp.where(crossing, dt_clamped, dt_new)
+
+        # don't overshoot stop_time
+        if (not cfg.steady_state) and cfg.stop_time > 0.0:
+            dt_new = jnp.where(s.t + dt_new > cfg.stop_time,
+                               cfg.stop_time - s.t, dt_new)
+        dt_new = jnp.where(dt_new < eps, 0.5 * s.dt, dt_new)
+
+        if cfg.fixed_dt > 0.0:
+            return jnp.asarray(cfg.fixed_dt, self.dtype)
+        return dt_new.astype(self.dtype)
+
+    # ------------------------------------------------------------------
+    # convective term (MOL path; reference compute_convective_term)
+    # ------------------------------------------------------------------
+    def convective_term_mol(self, vel, rho, tra, mac_phi0):
+        cfg = self.cfg
+        grid = self.grid
+        ng = cfg.nghost_state()
+        vel_g = self.grow_vel(vel, ng)
+        rho_g = self.grow_rho(rho, ng)
+        tra_g = self.grow_tra(tra, ng)
+
+        umac = mol.predict_vels_on_faces(vel_g, grid, ng, self.vel_bcrec)
+        rho_g1 = inner(rho_g, ng - 1, grid.ndim)
+        beta = mac_projection.inv_rho_on_faces(rho_g1, grid)
+        umac, mac_phi, mac_res, mac_it = mac_projection.project_mac_velocities(
+            umac, beta, grid, cfg.bc_kind, phi0=mac_phi0,
+            rtol=cfg.mac_mg_rtol, atol=cfg.mac_mg_atol,
+            maxiter=cfg.mac_mg_maxiter)
+
+        conv_u = mol.convective_rate(
+            mol.compute_convective_fluxes(vel_g, umac, grid, ng,
+                                          self.vel_bcrec), grid)
+        if cfg.constant_density:
+            conv_r = jnp.zeros_like(rho)
+        else:
+            conv_r = mol.convective_rate(
+                mol.compute_convective_fluxes(rho_g[..., None], umac, grid,
+                                              ng, self.den_bcrec), grid)[..., 0]
+        if cfg.advect_tracer:
+            rhotrac = rho_g[..., None] * tra_g
+            conv_t = mol.convective_rate(
+                mol.compute_convective_fluxes(rhotrac, umac, grid, ng,
+                                              self.tra_bcrec), grid)
+        else:
+            conv_t = jnp.zeros_like(tra)
+        return conv_u, conv_r, conv_t, umac, mac_phi
+
+    # ------------------------------------------------------------------
+    # nodal projection (reference incflo_apply_nodal_projection.cpp)
+    # ------------------------------------------------------------------
+    def apply_projection(self, vel, vel_o, rho_proj, gp, p, scaling,
+                         incremental: bool, small_dt_flag):
+        cfg = self.cfg
+        grid = self.grid
+        nd = grid.ndim
+
+        if not incremental:
+            vel = vel + gp * (scaling / rho_proj)[..., None]
+
+        # project (U* - U^n) instead of U* for incremental / tiny-dt steps
+        if incremental:
+            vel_in = vel - vel_o
+            inflow_scale = jnp.zeros((), self.dtype)
+        else:
+            vel_in = vel - small_dt_flag * vel_o
+            inflow_scale = 1.0 - small_dt_flag
+
+        sigma = scaling / rho_proj
+        bc_lo, bc_hi = mac_projection.projection_solver_bc(cfg.bc_kind, grid)
+        solver = mg.NodalSolver(grid.dx, grid.periodic, bc_lo, bc_hi, sigma)
+
+        upads = self._pad_vel_for_divergence(vel_in, inflow_scale)
+        rhs = mg._nodes_unique(mg.nodal_divergence(upads, grid.dx),
+                               solver.levels[0])
+        phi, res, it = solver.solve(rhs, rtol=cfg.nodal_mg_rtol,
+                                    atol=cfg.nodal_mg_atol,
+                                    maxiter=cfg.nodal_mg_maxiter)
+        gphi = solver.grad_at_cells(phi)
+        vel_new = vel - sigma[..., None] * gphi
+        if incremental:
+            p_new, gp_new = p + phi, gp + gphi
+        else:
+            p_new, gp_new = phi, gphi
+        return vel_new, p_new, gp_new, res, it
+
+    def _pad_vel_for_divergence(self, vel, inflow_scale):
+        """Zero ghosts everywhere, then fill mass-inflow ghost bands of the
+        face-normal component with the inflow profile (reference
+        set_inflow_velocity before NodalProjector)."""
+        grid = self.grid
+        cfg = self.cfg
+        nd = grid.ndim
+        upads = []
+        for c in range(nd):
+            u = vel[..., c]
+            for ax in range(nd):
+                u = mg._wrap_pad(u, ax) if grid.periodic[ax] else mg._zero_pad(u, ax)
+            upads.append(u)
+        for ax in range(nd):
+            if grid.periodic[ax]:
+                continue
+            for side in range(2):
+                if BCKind(int(cfg.bc_kind[ax, side])) != BCKind.mass_inflow:
+                    continue
+                # ghost band: one cell thick just outside the domain;
+                # value = inflow profile of the NORMAL component
+                val = self.vel_ev.slab(ax, side, ax, [0] * nd, self.dtype)
+                if val.ndim > nd:       # drop the component axis
+                    val = val[..., 0]
+                u = upads[ax]
+                sl = [slice(1, -1)] * nd
+                sl[ax] = slice(0, 1) if side == 0 else slice(-1, None)
+                band_shape = tuple(
+                    1 if a == ax else u.shape[a] - 2 for a in range(nd))
+                band = jnp.broadcast_to(val, band_shape) * inflow_scale
+                upads[ax] = u.at[tuple(sl)].set(band.astype(self.dtype))
+        return upads
+
+    # ------------------------------------------------------------------
+    # predictor (reference incflo_apply_predictor.cpp)
+    # ------------------------------------------------------------------
+    def apply_predictor(self, old: LevelState, dt, incremental: bool,
+                        small_dt_flag):
+        cfg = self.cfg
+        grid = self.grid
+        ng = cfg.nghost_state()
+        vel_o, rho_o, tra_o = old.velocity, old.density, old.tracer
+
+        vel_g = self.grow_vel(vel_o, ng)
+        eta_g1 = rheology.compute_viscosity(vel_g, grid, ng, cfg, out_ng=1)
+        eta_faces = diffusion.eta_to_faces(eta_g1, grid)
+        tra_eta_faces = self._tracer_eta_faces()
+
+        divtau_o = None
+        if cfg.need_divtau() or cfg.use_tensor_correction:
+            divtau_o = diffusion.compute_divtau(vel_o, vel_g, rho_o,
+                                                eta_faces, eta_g1, cfg,
+                                                grid, ng)
+        laps_o = None
+        if cfg.advect_tracer and cfg.need_divtau():
+            laps_o = diffusion.compute_laps(tra_o, tra_eta_faces, cfg, grid)
+
+        conv_u, conv_r, conv_t, umac, mac_phi = self.convective_term_mol(
+            vel_o, rho_o, tra_o, old.mac_phi)
+
+        # density update + half-time density
+        if cfg.constant_density:
+            rho_new, rho_nph = rho_o, rho_o
+        else:
+            rho_new = rho_o + dt * conv_r
+            rho_nph = 0.5 * (rho_o + rho_new)
+
+        # tracer update (for rho*s; then divide by rho_new)
+        tra_new = tra_o
+        if cfg.advect_tracer:
+            tra_f = self.compute_tra_forces(rho_nph)
+            lap_w = {DiffusionType.Explicit: 1.0,
+                     DiffusionType.Crank_Nicolson: 0.5,
+                     DiffusionType.Implicit: 0.0}[cfg.diff_type]
+            rhs = rho_o[..., None] * tra_o + dt * (conv_t + tra_f)
+            if lap_w != 0.0 and laps_o is not None:
+                rhs = rhs + dt * lap_w * laps_o
+            tra_new = rhs / rho_new[..., None]
+            if cfg.diff_type in (DiffusionType.Crank_Nicolson,
+                                 DiffusionType.Implicit):
+                dt_diff = dt if cfg.diff_type == DiffusionType.Implicit else 0.5 * dt
+                tra_new = diffusion.diffuse_scalar(tra_new, rho_new,
+                                                   tra_eta_faces, dt_diff,
+                                                   cfg, grid)
+
+        # velocity update
+        vel_f = self.compute_vel_forces(rho_nph, tra_o, tra_new, old.gp)
+        dv = conv_u + vel_f
+        if cfg.diff_type == DiffusionType.Explicit:
+            dv = dv + divtau_o
+        elif cfg.diff_type == DiffusionType.Crank_Nicolson:
+            dv = dv + 0.5 * divtau_o
+        elif cfg.use_tensor_correction:
+            dv = dv + divtau_o   # difference of tensor and scalar divtau
+        vel_new = vel_o + dt * dv
+
+        if cfg.diff_type in (DiffusionType.Crank_Nicolson,
+                             DiffusionType.Implicit):
+            dt_diff = dt if cfg.diff_type == DiffusionType.Implicit else 0.5 * dt
+            vel_new = diffusion.diffuse_velocity(vel_new, rho_new, eta_faces,
+                                                 dt_diff, cfg, grid)
+
+        vel_new, p_new, gp_new, nodal_res, nodal_it = self.apply_projection(
+            vel_new, vel_o, rho_nph, old.gp, old.p, dt, incremental,
+            small_dt_flag)
+
+        new = LevelState(velocity=vel_new, density=rho_new, tracer=tra_new,
+                         gp=gp_new, p=p_new, mac_phi=mac_phi)
+        aux = dict(conv_u=conv_u, conv_r=conv_r, conv_t=conv_t,
+                   divtau_o=divtau_o, laps_o=laps_o, rho_nph=rho_nph,
+                   nodal_res=nodal_res, nodal_it=nodal_it)
+        return new, aux
+
+    # ------------------------------------------------------------------
+    # corrector (MOL; reference incflo_apply_corrector.cpp)
+    # ------------------------------------------------------------------
+    def apply_corrector(self, old: LevelState, star: LevelState, aux: Dict,
+                        dt, small_dt_flag):
+        cfg = self.cfg
+        grid = self.grid
+        ng = cfg.nghost_state()
+        vel_o, rho_o, tra_o = old.velocity, old.density, old.tracer
+
+        conv_u, conv_r, conv_t, umac, mac_phi = self.convective_term_mol(
+            star.velocity, star.density, star.tracer, star.mac_phi)
+
+        vel_g = self.grow_vel(star.velocity, ng)
+        eta_g1 = rheology.compute_viscosity(vel_g, grid, ng, cfg, out_ng=1)
+        eta_faces = diffusion.eta_to_faces(eta_g1, grid)
+        tra_eta_faces = self._tracer_eta_faces()
+
+        divtau = None
+        if cfg.diff_type == DiffusionType.Explicit or cfg.use_tensor_correction:
+            divtau = diffusion.compute_divtau(star.velocity, vel_g,
+                                              star.density, eta_faces,
+                                              eta_g1, cfg, grid, ng)
+        laps = None
+        if cfg.advect_tracer and cfg.diff_type == DiffusionType.Explicit:
+            laps = diffusion.compute_laps(star.tracer, tra_eta_faces, cfg, grid)
+
+        if cfg.constant_density:
+            rho_new, rho_nph = rho_o, rho_o
+        else:
+            rho_new = rho_o + dt * 0.5 * (conv_r + aux["conv_r"])
+            rho_nph = 0.5 * (rho_o + rho_new)
+
+        tra_new = tra_o
+        if cfg.advect_tracer:
+            tra_f = self.compute_tra_forces(rho_nph)
+            rhs = rho_o[..., None] * tra_o + dt * (
+                0.5 * (conv_t + aux["conv_t"]) + tra_f)
+            if cfg.diff_type == DiffusionType.Explicit:
+                rhs = rhs + dt * 0.5 * (aux["laps_o"] + laps)
+            elif cfg.diff_type == DiffusionType.Crank_Nicolson:
+                rhs = rhs + dt * 0.5 * aux["laps_o"]
+            tra_new = rhs / rho_new[..., None]
+            if cfg.diff_type in (DiffusionType.Crank_Nicolson,
+                                 DiffusionType.Implicit):
+                dt_diff = dt if cfg.diff_type == DiffusionType.Implicit else 0.5 * dt
+                tra_new = diffusion.diffuse_scalar(tra_new, rho_new,
+                                                   tra_eta_faces, dt_diff,
+                                                   cfg, grid)
+
+        vel_f = self.compute_vel_forces(rho_nph, tra_o, tra_new, star.gp)
+        dv = 0.5 * (conv_u + aux["conv_u"]) + vel_f
+        if cfg.diff_type == DiffusionType.Explicit:
+            dv = dv + 0.5 * (aux["divtau_o"] + divtau)
+        elif cfg.diff_type == DiffusionType.Crank_Nicolson:
+            dv = dv + 0.5 * aux["divtau_o"]
+        elif cfg.use_tensor_correction:
+            dv = dv + divtau
+        vel_new = vel_o + dt * dv
+
+        if cfg.diff_type in (DiffusionType.Crank_Nicolson,
+                             DiffusionType.Implicit):
+            dt_diff = dt if cfg.diff_type == DiffusionType.Implicit else 0.5 * dt
+            vel_new = diffusion.diffuse_velocity(vel_new, rho_new, eta_faces,
+                                                 dt_diff, cfg, grid)
+
+        vel_new, p_new, gp_new, nodal_res, nodal_it = self.apply_projection(
+            vel_new, vel_o, rho_nph, star.gp, old.p, dt, False, small_dt_flag)
+
+        return LevelState(velocity=vel_new, density=rho_new, tracer=tra_new,
+                          gp=gp_new, p=p_new, mac_phi=mac_phi)
+
+    def _tracer_eta_faces(self):
+        grid = self.grid
+        out = []
+        for n in range(self.cfg.ntrac):
+            faces = []
+            for d in range(grid.ndim):
+                shape = tuple(grid.n_cell[a] + (1 if a == d else 0)
+                              for a in range(grid.ndim))
+                faces.append(jnp.full(shape, self.cfg.mu_s[n], self.dtype))
+            out.append(faces)
+        return out
+
+    # ------------------------------------------------------------------
+    # one full step
+    # ------------------------------------------------------------------
+    def _advance_impl(self, s: SimState) -> SimState:
+        cfg = self.cfg
+        old = s.level
+        vf = self.compute_vel_forces(old.density, old.tracer, old.tracer,
+                                     old.gp)
+        dt = self.compute_dt(old.velocity, old.density, vf, s)
+        small_dt = jnp.where(
+            jnp.logical_and(s.t > 0.0, dt < 0.1 * s.dt), 1.0, 0.0
+        ).astype(self.dtype)
+
+        star, aux = self.apply_predictor(old, dt, False, small_dt)
+        if not cfg.use_godunov:
+            new = self.apply_corrector(old, star, aux, dt, small_dt)
+        else:
+            new = star
+        return SimState(level=new, t=s.t + dt, dt=dt, prev_dt=s.dt,
+                        prev_prev_dt=s.prev_dt, step=s.step + 1)
+
+    def advance(self, s: SimState) -> SimState:
+        return self._advance(s)
+
+    # ------------------------------------------------------------------
+    # initialization (reference InitData / InitialProjection /
+    # InitialIterations, setup/init.cpp:228-300)
+    # ------------------------------------------------------------------
+    def _initial_projection_impl(self, level: LevelState) -> LevelState:
+        vel, p, gp, res, it = self.apply_projection(
+            level.velocity, level.velocity, level.density, level.gp,
+            level.p, jnp.asarray(1.0, self.dtype), False,
+            jnp.zeros((), self.dtype))
+        # p and gp are reset to zero after the initial projection
+        return level._replace(velocity=vel, p=jnp.zeros_like(level.p),
+                              gp=jnp.zeros_like(level.gp))
+
+    def _initial_iteration_impl(self, s: SimState) -> SimState:
+        """One pressure iteration: predictor in incremental mode, then
+        discard the state update, keeping p/gp."""
+        star, aux = self.apply_predictor(s.level, s.dt, True,
+                                         jnp.zeros((), self.dtype))
+        lvl = s.level._replace(p=star.p, gp=star.gp, mac_phi=star.mac_phi)
+        return s._replace(level=lvl)
+
+    def init_state(self) -> SimState:
+        cfg = self.cfg
+        level = probs.init_fluid(cfg, self.grid, self.dtype)
+        zero = jnp.zeros((), self.dtype)
+        s = SimState(level=level, t=zero, dt=zero, prev_dt=zero,
+                     prev_prev_dt=zero, step=jnp.zeros((), jnp.int32))
+        if cfg.do_initial_proj:
+            s = s._replace(level=self._init_project(s.level))
+        if cfg.initial_iterations > 0:
+            vf = self.compute_vel_forces(s.level.density, s.level.tracer,
+                                         s.level.tracer, s.level.gp)
+            dt0 = self.compute_dt(s.level.velocity, s.level.density, vf, s,
+                                  initialization=True)
+            s = s._replace(dt=dt0)
+            for _ in range(cfg.initial_iterations):
+                s = self._initial_iteration(s)
+        return s
+
+    # ------------------------------------------------------------------
+    def evolve(self, max_steps: Optional[int] = None, callback=None):
+        """Main loop (reference incflo::Evolve). Returns the final state."""
+        cfg = self.cfg
+        s = self.init_state()
+        nmax = cfg.max_step if max_steps is None else max_steps
+        while True:
+            t, step = float(s.t), int(s.step)
+            if cfg.stop_time >= 0 and t >= cfg.stop_time - 1e-15:
+                break
+            if nmax >= 0 and step >= nmax:
+                break
+            s = self.advance(s)
+            if callback is not None:
+                callback(s)
+        return s

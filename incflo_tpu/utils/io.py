@@ -1,0 +1,203 @@
+"""Checkpoint / plotfile I/O.
+
+Preserves the reference's persistence CONTRACT (src/utilities/io.cpp):
+  * checkpoint = directory with a text `Header` (version, step, time, dt,
+    prev dts, prob domain, cell counts) + per-level field data; restart
+    reconstructs the state regardless of device count (the arrays are
+    resharded on load).
+  * plotfile = directory with a text `Header` listing the plotted fields
+    + the field data; the error-vs-exact fields print
+    "Norm0/Norm2 of xxx error" lines (the convergence-harness metric,
+    reference io.cpp:482-561).
+
+Data is stored as .npz (dense, layout-stable) rather than VisMF binaries;
+the Header carries the same information.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from incflo_tpu.config import IncfloConfig
+from incflo_tpu.grid import Grid
+from incflo_tpu.state import LevelState, SimState
+from incflo_tpu.ops import derive, rheology
+from incflo_tpu import bcs
+
+HDR_VERSION = "Checkpoint version: 1"
+
+
+def write_checkpoint(path: str, s: SimState, cfg: IncfloConfig):
+    os.makedirs(path, exist_ok=True)
+    grid = cfg.grid
+    hdr = [
+        HDR_VERSION,
+        "1",                                     # number of levels
+        f"{int(s.step)}",
+        f"{float(s.t):.17g}",
+        f"{float(s.dt):.17g}",
+        f"{float(s.prev_dt):.17g}",
+        f"{float(s.prev_prev_dt):.17g}",
+        " ".join(f"{v:.17g}" for v in grid.prob_lo),
+        " ".join(f"{v:.17g}" for v in grid.prob_hi),
+        " ".join(str(n) for n in grid.n_cell),
+        " ".join("1" if p else "0" for p in grid.periodic),
+    ]
+    with open(os.path.join(path, "Header"), "w") as f:
+        f.write("\n".join(hdr) + "\n")
+    np.savez(os.path.join(path, "Level_0.npz"),
+             velocity=np.asarray(s.level.velocity),
+             density=np.asarray(s.level.density),
+             tracer=np.asarray(s.level.tracer),
+             gp=np.asarray(s.level.gp),
+             p=np.asarray(s.level.p),
+             mac_phi=np.asarray(s.level.mac_phi))
+
+
+def read_checkpoint(path: str, cfg: IncfloConfig, dtype) -> SimState:
+    with open(os.path.join(path, "Header")) as f:
+        lines = [l.rstrip("\n") for l in f]
+    assert lines[0] == HDR_VERSION, f"bad checkpoint header: {lines[0]}"
+    step = int(lines[2])
+    t, dt, prev_dt, prev_prev_dt = (float(lines[i]) for i in range(3, 7))
+    n_cell = tuple(int(v) for v in lines[9].split())
+    assert n_cell == cfg.grid.n_cell, \
+        f"checkpoint grid {n_cell} != inputs grid {cfg.grid.n_cell}"
+    d = np.load(os.path.join(path, "Level_0.npz"))
+    lvl = LevelState(velocity=jnp.asarray(d["velocity"], dtype),
+                     density=jnp.asarray(d["density"], dtype),
+                     tracer=jnp.asarray(d["tracer"], dtype),
+                     gp=jnp.asarray(d["gp"], dtype),
+                     p=jnp.asarray(d["p"], dtype),
+                     mac_phi=jnp.asarray(d["mac_phi"], dtype))
+    mk = lambda v: jnp.asarray(v, dtype)
+    return SimState(level=lvl, t=mk(t), dt=mk(dt), prev_dt=mk(prev_dt),
+                    prev_prev_dt=mk(prev_prev_dt),
+                    step=jnp.asarray(step, jnp.int32))
+
+
+# ---------------------------------------------------------------------
+# plotfile
+# ---------------------------------------------------------------------
+
+def gather_plot_fields(s: SimState, cfg: IncfloConfig, sim) -> Dict[str, np.ndarray]:
+    """Build the plotted field dict per cfg.plt_fields + plt_error_*."""
+    grid = cfg.grid
+    lvl = s.level
+    nd = grid.ndim
+    out: Dict[str, np.ndarray] = {}
+    names = {0: "velx", 1: "vely", 2: "velz"}
+    gp_names = {0: "gpx", 1: "gpy", 2: "gpz"}
+    want = set(cfg.plt_fields)
+
+    need_grown = {"vort", "strainrate", "divu", "eta"} & want
+    vel_g = sim.grow_vel(lvl.velocity, 2) if need_grown else None
+
+    for c in range(nd):
+        if names[c] in want:
+            out[names[c]] = np.asarray(lvl.velocity[..., c])
+        if gp_names[c] in want:
+            out[gp_names[c]] = np.asarray(lvl.gp[..., c])
+    if "rho" in want:
+        out["rho"] = np.asarray(lvl.density)
+    if "tracer" in want:
+        for n in range(cfg.ntrac):
+            out[f"tracer{n}" if cfg.ntrac > 1 else "tracer"] = \
+                np.asarray(lvl.tracer[..., n])
+    if "p" in want:
+        out["p"] = np.asarray(derive.node_to_cell(lvl.p, grid))
+    if "macphi" in want:
+        out["macphi"] = np.asarray(lvl.mac_phi)
+    if "vort" in want:
+        out["vort"] = np.asarray(derive.vorticity(vel_g, grid, 2))
+    if "strainrate" in want:
+        out["strainrate"] = np.asarray(rheology.strainrate(vel_g, grid, 2))
+    if "divu" in want:
+        out["divu"] = np.asarray(derive.divu_cc(vel_g, grid, 2))
+    if "eta" in want:
+        out["eta"] = np.asarray(
+            rheology.compute_viscosity(vel_g, grid, 2, cfg, out_ng=0))
+    return out
+
+
+def error_norm_fields(s: SimState, cfg: IncfloConfig) -> Dict[str, np.ndarray]:
+    """error-vs-exact fields + printed norms (probtype 1/2 only;
+    reference io.cpp:482-561 + incflo_error.cpp)."""
+    out = {}
+    grid = cfg.grid
+    lvl = s.level
+    dtype = lvl.velocity.dtype
+    t, dt = float(s.t), float(s.dt)
+    if cfg.plt_error_u or cfg.plt_error_v or cfg.plt_error_w:
+        ex = derive.exact_velocity(cfg.probtype, grid, t, dtype)
+        sel = [("u", 0, cfg.plt_error_u), ("v", 1, cfg.plt_error_v)]
+        if grid.ndim == 3:
+            sel.append(("w", 2, cfg.plt_error_w))
+        for nm, c, on in sel:
+            if on:
+                out[f"error_{nm}"] = np.asarray(lvl.velocity[..., c] - ex[c])
+    if cfg.plt_error_p:
+        p_cc = derive.node_to_cell(lvl.p, grid)
+        ex = derive.exact_pressure(cfg.probtype, grid, t, dt, dtype)
+        err = np.asarray(p_cc - ex)
+        out["error_p"] = err - err.mean()   # pressure defined up to constant
+    if cfg.plt_error_mac_p:
+        ex = derive.exact_pressure(cfg.probtype, grid, t, dt, dtype)
+        err = np.asarray(lvl.mac_phi - ex)
+        out["error_mac_p"] = err - err.mean()
+    return out
+
+
+def print_error_norms(fields: Dict[str, np.ndarray]):
+    """The lines the convergence_{2d,3d}/todo_print harness greps."""
+    name_map = {"error_u": "u", "error_v": "v", "error_w": "w",
+                "error_p": "p", "error_mac_p": "mac_p"}
+    for k, v in fields.items():
+        if k not in name_map:
+            continue
+        nm = name_map[k]
+        n0 = np.max(np.abs(v))
+        n2 = np.sqrt(np.mean(v ** 2))
+        print(f"  Norm0 of {nm} error {n0:.12e}")
+        print(f"  Norm2 of {nm} error {n2:.12e}")
+
+
+def write_plotfile(path: str, s: SimState, cfg: IncfloConfig, sim):
+    os.makedirs(path, exist_ok=True)
+    fields = gather_plot_fields(s, cfg, sim)
+    err = error_norm_fields(s, cfg) if cfg.probtype in (1, 2) and (
+        cfg.plt_error_u or cfg.plt_error_v or cfg.plt_error_w
+        or cfg.plt_error_p or cfg.plt_error_mac_p) else {}
+    if err:
+        print_error_norms(err)
+    fields.update(err)
+    hdr = {
+        "version": "IncfloTPU-Plotfile-1",
+        "step": int(s.step), "time": float(s.t), "dt": float(s.dt),
+        "prob_lo": list(cfg.grid.prob_lo), "prob_hi": list(cfg.grid.prob_hi),
+        "n_cell": list(cfg.grid.n_cell),
+        "fields": sorted(fields.keys()),
+    }
+    with open(os.path.join(path, "Header"), "w") as f:
+        json.dump(hdr, f, indent=1)
+    np.savez(os.path.join(path, "Level_0.npz"), **fields)
+    return fields
+
+
+def write_job_info(path: str, cfg: IncfloConfig):
+    """Provenance dump (reference WriteJobInfo, io.cpp:228-313)."""
+    import incflo_tpu
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "incflo_job_info"), "w") as f:
+        f.write("incflo_tpu version: %s\n" % incflo_tpu.__version__)
+        f.write("ndim: %d\nn_cell: %s\n" % (cfg.ndim, cfg.grid.n_cell,))
+        import jax
+        f.write("devices: %s\n" % (jax.devices(),))
+        f.write("\n== full inputs ==\n")
+        if cfg.pp is not None:
+            f.write(cfg.pp.dump() + "\n")

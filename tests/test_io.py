@@ -1,0 +1,52 @@
+"""Checkpoint/restart round-trip and plotfile contract tests."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from incflo_tpu.config import IncfloConfig
+from incflo_tpu.simulation import Simulation
+from incflo_tpu.utils import io
+
+TGV_DECK = "/root/reference/test_no_eb_2d/benchmark.taylor_green_vortices"
+
+
+def test_checkpoint_restart_bitexact(tmp_path):
+    cfg = IncfloConfig.from_file(TGV_DECK, argv=["amr.n_cell = 8 8"])
+    sim = Simulation(cfg)
+    s = sim.init_state()
+    for _ in range(3):
+        s = sim.advance(s)
+    chk = str(tmp_path / "chk00003")
+    io.write_checkpoint(chk, s, cfg)
+    s2 = io.read_checkpoint(chk, cfg, sim.dtype)
+    assert int(s2.step) == int(s.step)
+    assert float(s2.t) == float(s.t)
+    # advance both two more steps: identical trajectories
+    for _ in range(2):
+        s = sim.advance(s)
+        s2 = sim.advance(s2)
+    np.testing.assert_array_equal(np.asarray(s.level.velocity),
+                                  np.asarray(s2.level.velocity))
+    np.testing.assert_array_equal(np.asarray(s.level.p), np.asarray(s2.level.p))
+
+
+def test_plotfile_fields_and_error_norms(tmp_path, capsys):
+    cfg = IncfloConfig.from_file(
+        TGV_DECK, argv=["amr.n_cell = 16 16", "amr.plt_error_u = 1",
+                        "amr.plt_error_v = 1", "amr.plt_vort = 1"])
+    sim = Simulation(cfg)
+    s = sim.init_state()
+    s = sim.advance(s)
+    path = str(tmp_path / "plt00001")
+    fields = io.write_plotfile(path, s, cfg, sim)
+    # plt_ccse_regtest default set + requested extras
+    for name in ("velx", "vely", "gpx", "gpy", "rho", "tracer", "vort",
+                 "error_u", "error_v"):
+        assert name in fields, name
+    out = capsys.readouterr().out
+    assert "Norm2 of u error" in out
+    assert os.path.exists(os.path.join(path, "Header"))
+    # error small after one step at t ~ 1e-3
+    assert np.max(np.abs(fields["error_u"])) < 0.05
