@@ -1,0 +1,66 @@
+"""Multi-chip domain decomposition via jax.sharding + GSPMD.
+
+The reference's parallelism is spatial domain decomposition: BoxArray
+chopped into boxes, boxes assigned to MPI ranks, ghost cells exchanged
+by FillBoundary (SURVEY.md 2.12).  The TPU-native equivalent: shard the
+dense level arrays over a device Mesh along the cell axes and let the
+XLA SPMD partitioner turn every stencil pad/shift into ICI halo
+collectives.  No hand-written communication is needed: the same
+jnp-level advance() runs on 1 or N chips; only the shardings differ.
+
+Reductions (ComputeDt's max-CFL, residual norms in the multigrid
+while_loops) lower to cross-device all-reduces automatically.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from incflo_tpu.state import LevelState, SimState
+
+
+def _factor2(n: int):
+    """Split n into two near-square factors."""
+    a = int(math.isqrt(n))
+    while n % a:
+        a -= 1
+    return max(a, n // a), min(a, n // a)
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              axis_names=("dx", "dy")) -> Mesh:
+    """2D device mesh over the first two grid axes."""
+    devices = list(devices if devices is not None else jax.devices())
+    a, b = _factor2(len(devices))
+    dev = np.asarray(devices).reshape(a, b)
+    return Mesh(dev, axis_names)
+
+
+def level_specs(grid_ndim: int, mesh: Mesh) -> LevelState:
+    """PartitionSpecs for every LevelState field: shard the first two
+    cell axes over the mesh, replicate trailing component axes."""
+    ax = mesh.axis_names
+    cell = P(ax[0], ax[1]) if grid_ndim >= 2 else P(ax[0])
+    cellc = P(ax[0], ax[1], *([None] * (grid_ndim - 2)), None)
+    cells = P(ax[0], ax[1], *([None] * (grid_ndim - 2)))
+    return LevelState(velocity=cellc, density=cells, tracer=cellc,
+                      gp=cellc, p=cells, mac_phi=cells)
+
+
+def sim_state_shardings(state: SimState, mesh: Mesh) -> SimState:
+    ndim = state.level.density.ndim
+    lvl = level_specs(ndim, mesh)
+    rep = P()
+    mk = lambda spec: NamedSharding(mesh, spec)
+    return SimState(level=jax.tree.map(mk, lvl), t=mk(rep), dt=mk(rep),
+                    prev_dt=mk(rep), prev_prev_dt=mk(rep), step=mk(rep))
+
+
+def shard_sim_state(state: SimState, mesh: Mesh) -> SimState:
+    sh = sim_state_shardings(state, mesh)
+    return jax.tree.map(jax.device_put, state, sh)

@@ -23,7 +23,7 @@ from incflo_tpu import bcs, probs
 from incflo_tpu.bcs import BCKind
 from incflo_tpu.config import DiffusionType, IncfloConfig
 from incflo_tpu.grid import Grid
-from incflo_tpu.ops import diffusion, mac_projection, mol
+from incflo_tpu.ops import diffusion, godunov, mac_projection, mol
 from incflo_tpu.ops import multigrid as mg
 from incflo_tpu.ops import rheology
 from incflo_tpu.ops.stencil import inner, window
@@ -44,6 +44,10 @@ class Simulation:
         self.vel_ev = cfg.velocity_ext_values()
         self.den_ev = cfg.density_ext_values()
         self.tra_ev = cfg.tracer_ext_values()
+        self.force_bcrec = cfg.force_bcrecs(max(cfg.ntrac, cfg.ndim))
+        if cfg.use_godunov:
+            self.godunov = godunov.GodunovScheme(
+                cfg.grid, cfg.godunov_ppm, cfg.godunov_use_forces_in_trans)
         self._advance = jax.jit(self._advance_impl)
         self._initial_iteration = jax.jit(self._initial_iteration_impl)
         self._init_project = jax.jit(self._initial_projection_impl)
@@ -136,8 +140,70 @@ class Simulation:
         return dt_new.astype(self.dtype)
 
     # ------------------------------------------------------------------
-    # convective term (MOL path; reference compute_convective_term)
+    # convective term (reference compute_convective_term)
     # ------------------------------------------------------------------
+    def grow_force(self, f, ng=1):
+        ncomp = f.shape[-1]
+        return bcs.grow(f, ng, self.grid, self.force_bcrec[:ncomp])
+
+    def convective_term_godunov(self, vel, rho, tra, mac_phi0, gp,
+                                rho_for_forces, tra_new, divtau_o, laps_o,
+                                dt):
+        """Godunov path (incflo_compute_advection_term.cpp:37-114 +
+        Godunov kernels): predict half-time MAC velocities with forces
+        that exclude the MAC-phi gradient, project, then advect with the
+        full forcing."""
+        cfg = self.cfg
+        grid = self.grid
+        ng = cfg.nghost_state()
+        vel_g = self.grow_vel(vel, ng)
+        rho_g = self.grow_rho(rho, ng)
+        tra_g = self.grow_tra(tra, ng)
+
+        # forcing for the face prediction
+        vf = self.compute_vel_forces(rho_for_forces, tra, tra_new, gp,
+                                     include_pressure_gradient=not
+                                     cfg.use_mac_phi_in_godunov)
+        if cfg.godunov_include_diff_in_forcing and divtau_o is not None:
+            vf = vf + divtau_o
+        vf_g = self.grow_force(vf)
+
+        umac = self.godunov.predict(vel_g, vf_g, dt, ng, self.vel_bcrec)
+        rho_g1 = inner(rho_g, ng - 1, grid.ndim)
+        beta = mac_projection.inv_rho_on_faces(rho_g1, grid)
+        umac, mac_phi, mac_res, mac_it = mac_projection.project_mac_velocities(
+            umac, beta, grid, cfg.bc_kind, phi0=mac_phi0,
+            rtol=cfg.mac_mg_rtol, atol=cfg.mac_mg_atol,
+            maxiter=cfg.mac_mg_maxiter)
+
+        # re-compute forcing with the full pressure gradient
+        vf = self.compute_vel_forces(rho_for_forces, tra, tra_new, gp)
+        if cfg.godunov_include_diff_in_forcing and divtau_o is not None:
+            vf = vf + divtau_o
+        vf_g = self.grow_force(vf)
+
+        conv_u = self.godunov.advect(vel_g, umac, vf_g, dt, ng,
+                                     self.vel_bcrec,
+                                     [0] * grid.ndim, True)
+        if cfg.constant_density:
+            conv_r = jnp.zeros_like(rho)
+        else:
+            conv_r = self.godunov.advect(rho_g[..., None], umac, None, dt,
+                                         ng, self.den_bcrec, [1],
+                                         False)[..., 0]
+        if cfg.advect_tracer:
+            tf = self.compute_tra_forces(rho)
+            if cfg.godunov_include_diff_in_forcing and laps_o is not None:
+                tf = tf + laps_o
+            tf_g = self.grow_force(tf)
+            rhotrac = rho_g[..., None] * tra_g
+            conv_t = self.godunov.advect(rhotrac, umac, tf_g, dt, ng,
+                                         self.tra_bcrec,
+                                         [1] * cfg.ntrac, False)
+        else:
+            conv_t = jnp.zeros_like(tra)
+        return conv_u, conv_r, conv_t, umac, mac_phi
+
     def convective_term_mol(self, vel, rho, tra, mac_phi0):
         cfg = self.cfg
         grid = self.grid
@@ -267,8 +333,14 @@ class Simulation:
         if cfg.advect_tracer and cfg.need_divtau():
             laps_o = diffusion.compute_laps(tra_o, tra_eta_faces, cfg, grid)
 
-        conv_u, conv_r, conv_t, umac, mac_phi = self.convective_term_mol(
-            vel_o, rho_o, tra_o, old.mac_phi)
+        if cfg.use_godunov:
+            conv_u, conv_r, conv_t, umac, mac_phi = \
+                self.convective_term_godunov(vel_o, rho_o, tra_o,
+                                             old.mac_phi, old.gp, rho_o,
+                                             tra_o, divtau_o, laps_o, dt)
+        else:
+            conv_u, conv_r, conv_t, umac, mac_phi = self.convective_term_mol(
+                vel_o, rho_o, tra_o, old.mac_phi)
 
         # density update + half-time density
         if cfg.constant_density:
