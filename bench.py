@@ -60,14 +60,20 @@ scalar_diffusion.mg_atol = {atol}
     sim = Simulation(cfg)
     s = sim.init_state()
 
-    # warmup (compile + one step)
+    # warmup (compile + one step).  NOTE: on the axon TPU tunnel
+    # block_until_ready returns early; a host transfer is the only
+    # reliable synchronization, so we sync on a scalar pulled to host.
+    def sync(state):
+        import numpy as _np
+        return float(_np.asarray(state.dt))
+
     s = sim.advance(s)
-    jax.block_until_ready(s.level.velocity)
+    sync(s)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         s = sim.advance(s)
-    jax.block_until_ready(s.level.velocity)
+    sync(s)
     dt_wall = (time.perf_counter() - t0) / steps
 
     ncells = n * n * nz

@@ -66,18 +66,22 @@ def run(argv):
     init_time = wallclock.time() - t0
     print(f"Time spent in InitData():    {init_time}")
 
+    from incflo_tpu.utils import diagnostics
+
     t0 = wallclock.time()
     last_plt = -1
     last_chk = -1
     nsteps = 0
     while True:
         t, step = float(s.t), int(s.step)
-        if cfg.stop_time >= 0 and t >= cfg.stop_time - 1e-15:
+        if cfg.stop_time >= 0 and t >= cfg.stop_time - 1e-15 \
+                and not cfg.steady_state:
             break
         if cfg.max_step >= 0 and step >= cfg.max_step:
             break
 
         step_t0 = wallclock.time()
+        prev_level = s.level
         s = sim.advance(s)
         jax.block_until_ready(s.level.velocity)
         nsteps += 1
@@ -85,6 +89,15 @@ def run(argv):
         if cfg.verbose > 0:
             print(f"Step {step} : t = {t:.12g}, dt = {dt:.12g} "
                   f"[{wallclock.time()-step_t0:.3f}s]")
+        if cfg.verbose > 1:
+            diagnostics.print_max_values(s.level, t)
+        if cfg.KE_int > 0 and step % cfg.KE_int == 0:
+            ke = diagnostics.kinetic_energy(s.level, cfg.grid)
+            print(f"Time, Kinetic Energy: {t}, {ke}")
+        if cfg.steady_state and diagnostics.steady_state_reached(
+                prev_level, s.level, dt, cfg.steady_state_tol):
+            print(f"Steady state reached at step {step}, t = {t}")
+            break
 
         if write_now(step, t, dt, last_plt, cfg):
             path = f"{cfg.plot_file}{step:05d}"
