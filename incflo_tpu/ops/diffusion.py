@@ -77,7 +77,10 @@ def velocity_bvals(cfg: IncfloConfig, comp: int, dtype) -> Dict:
         if cfg.grid.periodic[ax]:
             continue
         for side in range(2):
-            out[(ax, side)] = ev.slab(ax, side, comp, [0] * cfg.ndim, dtype)
+            val = ev.slab(ax, side, comp, [0] * cfg.ndim, dtype)
+            if val.ndim > cfg.ndim:   # drop the component axis
+                val = val[..., 0]
+            out[(ax, side)] = val
     return out
 
 
@@ -131,25 +134,42 @@ def _set_face(a, axis, idx, val):
 # explicit applies
 # ---------------------------------------------------------------------
 
+def _eb_faces(eta_faces, eb):
+    if eb is None:
+        return eta_faces
+    return [eta_faces[d] * eb.afrac[d] for d in range(len(eta_faces))]
+
+
+def _eb_wall_coef(eta_cell, grid, eb):
+    """EB no-slip Dirichlet wall coefficient: flux = eta*A_eb*(0-u)/(dx/2)
+    => L += 2*eta*eb_area/dx^2 * u (first-order wall stencil)."""
+    dx2 = sum(1.0 / (d * d) for d in grid.dx) / grid.ndim
+    return 2.0 * eta_cell * eb.eb_area * dx2
+
+
 def compute_laps(tracer: jnp.ndarray, eta_faces_per_comp, cfg: IncfloConfig,
-                 grid: Grid) -> jnp.ndarray:
-    """div(mu_s grad s) per tracer component (inhomogeneous BCs)."""
+                 grid: Grid, eb=None) -> jnp.ndarray:
+    """div(mu_s grad s) per tracer component (inhomogeneous BCs; EB walls
+    are no-flux for scalars)."""
     dtype = tracer.dtype
     bc_lo, bc_hi = scalar_solver_bc(cfg)
     out = []
     for n in range(tracer.shape[-1]):
         lev = mg.CellLevel(grid.dx, tuple(bc_lo), tuple(bc_hi),
                            alpha=0.0, beta=1.0, acoef=None,
-                           bcoef=tuple(eta_faces_per_comp[n]))
+                           bcoef=tuple(_eb_faces(eta_faces_per_comp[n], eb)))
         # L = -div(mu grad); laps = -L
-        out.append(-mg.cell_apply_inhom(tracer[..., n], lev,
-                                        tracer_bvals(cfg, n, dtype)))
+        lap = -mg.cell_apply_inhom(tracer[..., n], lev,
+                                   tracer_bvals(cfg, n, dtype))
+        if eb is not None:
+            lap = lap * eb.fluid / jnp.where(eb.covered > 0.5, 1.0, eb.vfrac)
+        out.append(lap)
     return jnp.stack(out, axis=-1)
 
 
 def compute_divtau(vel: jnp.ndarray, vel_g: jnp.ndarray, rho: jnp.ndarray,
                    eta_faces, eta_g1: jnp.ndarray, cfg: IncfloConfig,
-                   grid: Grid, ng: int) -> jnp.ndarray:
+                   grid: Grid, ng: int, eb=None) -> jnp.ndarray:
     """divtau = div(tau) / rho.
 
     Scalar part div(eta grad u_c) uses the operator-consistent fluxes with
@@ -165,12 +185,17 @@ def compute_divtau(vel: jnp.ndarray, vel_g: jnp.ndarray, rho: jnp.ndarray,
         # predictor comment "divtau_o is the difference...").
         return _transpose_term(vel_g, eta_g1, grid, ng) / rho[..., None]
 
+    from incflo_tpu.ops.stencil import inner
+    eta_cell = inner(eta_g1, 1, grid.ndim)
+    # positive coefficient: L = -div(...) + ebc*u  => divtau = -L includes
+    # the wall drag -ebc*u
+    ebc = _eb_wall_coef(eta_cell, grid, eb) if eb is not None else None
     parts = []
     for c in range(ndim):
         bc_lo, bc_hi = velocity_solver_bc(cfg, c)
         lev = mg.CellLevel(grid.dx, tuple(bc_lo), tuple(bc_hi),
                            alpha=0.0, beta=1.0, acoef=None,
-                           bcoef=tuple(eta_faces))
+                           bcoef=tuple(_eb_faces(eta_faces, eb)), ebc=ebc)
         lap = -mg.cell_apply_inhom(vel[..., c], lev,
                                    velocity_bvals(cfg, c, dtype))
         parts.append(lap)
@@ -179,6 +204,9 @@ def compute_divtau(vel: jnp.ndarray, vel_g: jnp.ndarray, rho: jnp.ndarray,
     if cfg.use_tensor_solve:
         divtau = divtau + _transpose_term(vel_g, eta_g1, grid, ng)
 
+    if eb is not None:
+        vf = jnp.where(eb.covered > 0.5, 1.0, eb.vfrac)
+        divtau = divtau * eb.fluid[..., None] / vf[..., None]
     return divtau / rho[..., None]
 
 
@@ -239,44 +267,65 @@ def _transpose_term(vel_g: jnp.ndarray, eta_g1: jnp.ndarray, grid: Grid,
 
 def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
                      dt_diff, cfg: IncfloConfig, grid: Grid,
-                     rtol=None, atol=None):
+                     rtol=None, atol=None, eb=None, eta_g1=None):
     """(rho - dt div(eta grad)) u = rho u*  component-at-a-time
     (reference DiffusionScalarOp::diffuse_vel_components /
     DiffusionTensorOp::diffuse_velocity; the transpose coupling of the
-    full tensor solve is handled explicitly by the caller in tensor mode)."""
+    full tensor solve is handled explicitly by the caller in tensor mode).
+
+    EB: conservative cut-cell form (rho*vfrac - dt[div(ap eta grad) -
+    wall drag]) u = rho*vfrac u* with first-order no-slip EB walls."""
     dtype = vel.dtype
     rtol = cfg.diff_mg_rtol if rtol is None else rtol
     atol = cfg.diff_mg_atol if atol is None else atol
+    if eb is not None:
+        from incflo_tpu.ops.stencil import inner
+        eta_cell = inner(eta_g1, 1, grid.ndim)
+        ebc = _eb_wall_coef(eta_cell, grid, eb)
+        acoef = rho * jnp.where(eb.covered > 0.5, 1.0, eb.vfrac)
+    else:
+        ebc = None
+        acoef = rho
     comps = []
     for c in range(grid.ndim):
         bc_lo, bc_hi = velocity_solver_bc(cfg, c)
         solver = mg.CellSolver(grid.dx, bc_lo, bc_hi, alpha=1.0,
-                               beta=dt_diff, acoef=rho,
-                               bcoef=tuple(eta_faces))
-        rhs = rho * vel[..., c]
+                               beta=dt_diff, acoef=acoef,
+                               bcoef=tuple(_eb_faces(eta_faces, eb)),
+                               ebc=ebc)
+        rhs = acoef * vel[..., c]
         x, res, it = solver.solve_inhom(rhs, velocity_bvals(cfg, c, dtype),
                                         x0=vel[..., c], rtol=rtol, atol=atol,
                                         maxiter=cfg.diff_mg_maxiter)
         comps.append(x)
-    return jnp.stack(comps, axis=-1)
+    out = jnp.stack(comps, axis=-1)
+    if eb is not None:
+        out = out * eb.fluid[..., None]
+    return out
 
 
 def diffuse_scalar(tracer: jnp.ndarray, rho: jnp.ndarray, eta_faces_per_comp,
                    dt_diff, cfg: IncfloConfig, grid: Grid,
-                   rtol=None, atol=None):
-    """(rho - dt div(mu grad)) s = rho s* per tracer."""
+                   rtol=None, atol=None, eb=None):
+    """(rho - dt div(mu grad)) s = rho s* per tracer (EB walls no-flux)."""
     dtype = tracer.dtype
     rtol = cfg.diff_mg_rtol if rtol is None else rtol
     atol = cfg.diff_mg_atol if atol is None else atol
     bc_lo, bc_hi = scalar_solver_bc(cfg)
+    acoef = rho * jnp.where(eb.covered > 0.5, 1.0, eb.vfrac) \
+        if eb is not None else rho
     comps = []
     for n in range(tracer.shape[-1]):
         solver = mg.CellSolver(grid.dx, bc_lo, bc_hi, alpha=1.0,
-                               beta=dt_diff, acoef=rho,
-                               bcoef=tuple(eta_faces_per_comp[n]))
-        rhs = rho * tracer[..., n]
+                               beta=dt_diff, acoef=acoef,
+                               bcoef=tuple(_eb_faces(eta_faces_per_comp[n],
+                                                     eb)))
+        rhs = acoef * tracer[..., n]
         x, res, it = solver.solve_inhom(rhs, tracer_bvals(cfg, n, dtype),
                                         x0=tracer[..., n], rtol=rtol,
                                         atol=atol, maxiter=cfg.diff_mg_maxiter)
         comps.append(x)
-    return jnp.stack(comps, axis=-1)
+    out = jnp.stack(comps, axis=-1)
+    if eb is not None:
+        out = out * eb.fluid[..., None]
+    return out

@@ -70,15 +70,38 @@ def mac_divergence(umac: Sequence[jnp.ndarray], grid: Grid) -> jnp.ndarray:
 
 def project_mac_velocities(umac: List[jnp.ndarray], beta: List[jnp.ndarray],
                            grid: Grid, bc_kind: np.ndarray,
-                           phi0=None, rtol=1e-11, atol=1e-14, maxiter=200):
-    """Returns (umac_projected, phi, resnorm, iters)."""
+                           phi0=None, rtol=1e-11, atol=1e-14, maxiter=200,
+                           eb=None):
+    """Returns (umac_projected, phi, resnorm, iters).
+
+    With EB (cut cells): solve div(ap beta grad phi) = div(ap u) and
+    correct u -= beta grad phi on open faces (MLEBABecLap MacProjector
+    analog); faces with zero area fraction carry zero velocity."""
     bc_lo, bc_hi = projection_solver_bc(bc_kind, grid)
+    if eb is not None:
+        umac = [jnp.where(eb.afrac[d] > 1e-12, umac[d], 0.0)
+                for d in range(grid.ndim)]
+        beta_eff = [beta[d] * eb.afrac[d] for d in range(grid.ndim)]
+    else:
+        beta_eff = beta
     solver = mg.CellSolver(grid.dx, bc_lo, bc_hi, alpha=0.0, beta=1.0,
-                           acoef=None, bcoef=beta)
-    # L = -div(beta grad phi); solve L phi = -div(u)
-    rhs = -mac_divergence(umac, grid)
+                           acoef=None, bcoef=beta_eff)
+    # L = -div(beta_eff grad phi); solve L phi = -div(ap u)
+    if eb is not None:
+        rhs = -mac_divergence([eb.afrac[d] * umac[d]
+                               for d in range(grid.ndim)], grid)
+    else:
+        rhs = -mac_divergence(umac, grid)
     phi, res, it = solver.solve(rhs, x0=phi0, rtol=rtol, atol=atol,
                                 maxiter=maxiter)
-    fluxes = mg.cell_fluxes(phi, solver.levels[0])   # beta grad phi
-    new_umac = [umac[d] - fluxes[d] for d in range(grid.ndim)]
+    fluxes = mg.cell_fluxes(phi, solver.levels[0])   # beta_eff grad phi
+    if eb is not None:
+        new_umac = []
+        for d in range(grid.ndim):
+            ap = eb.afrac[d]
+            corr = jnp.where(ap > 1e-12, fluxes[d] / jnp.maximum(ap, 1e-12),
+                             0.0)
+            new_umac.append(umac[d] - corr)
+    else:
+        new_umac = [umac[d] - fluxes[d] for d in range(grid.ndim)]
     return new_umac, phi, res, it

@@ -105,6 +105,8 @@ class CellLevel:
     beta: float
     acoef: Optional[jnp.ndarray]          # (cells) or None (== 0)
     bcoef: Tuple[jnp.ndarray, ...]        # per axis, faces (n+1 along axis)
+    ebc: Optional[jnp.ndarray] = None     # EB Dirichlet-wall coefficient:
+                                          # L += beta * ebc * phi
 
 
 def _cell_pad_hom(x, lev: CellLevel):
@@ -180,6 +182,8 @@ def cell_fluxes_inhom(x, lev: CellLevel, bvals):
 def cell_apply_inhom(x, lev: CellLevel, bvals):
     """L(x) with inhomogeneous Dirichlet boundary values."""
     out = lev.alpha * (lev.acoef * x if lev.acoef is not None else 0.0 * x)
+    if lev.ebc is not None:
+        out = out + lev.beta * lev.ebc * x
     for ax, flux in enumerate(cell_fluxes_inhom(x, lev, bvals)):
         dxi = 1.0 / lev.dx[ax]
         div = (_slice_axis(flux, ax, slice(1, None))
@@ -218,6 +222,8 @@ def cell_apply(x, lev: CellLevel):
     """L(x) with homogeneous BCs."""
     ndim = len(lev.dx)
     out = lev.alpha * (lev.acoef * x if lev.acoef is not None else 0.0 * x)
+    if lev.ebc is not None:
+        out = out + lev.beta * lev.ebc * x
     for ax, flux in enumerate(cell_fluxes(x, lev)):
         dxi = 1.0 / lev.dx[ax]
         div = (_slice_axis(flux, ax, slice(1, None))
@@ -239,6 +245,8 @@ def cell_diag(lev: CellLevel):
     cells = tuple(n - (1 if ax == 0 else 0) for ax, n in enumerate(shape))
     d = lev.alpha * (lev.acoef if lev.acoef is not None else 0.0)
     d = jnp.zeros(cells, lev.bcoef[0].dtype) + d
+    if lev.ebc is not None:
+        d = d + lev.beta * lev.ebc
     for ax in range(ndim):
         dx2i = 1.0 / (lev.dx[ax] ** 2)
         b = lev.bcoef[ax]
@@ -313,14 +321,14 @@ class CellSolver:
     """Geometric MG for the cell-centered operator on one grid."""
 
     def __init__(self, dx, bc_lo, bc_hi, alpha, beta, acoef, bcoef,
-                 max_levels=30, nu1=2, nu2=2, nu_bottom=40):
+                 max_levels=30, nu1=2, nu2=2, nu_bottom=40, ebc=None):
         ndim = len(dx)
         self.ndim = ndim
         self.nu1, self.nu2, self.nu_bottom = nu1, nu2, nu_bottom
         levels: List[CellLevel] = []
         lev = CellLevel(tuple(dx), tuple(int(b) for b in bc_lo),
                         tuple(int(b) for b in bc_hi), alpha, beta,
-                        acoef, tuple(bcoef))
+                        acoef, tuple(bcoef), ebc)
         cells = acoef.shape if acoef is not None else tuple(
             bcoef[0].shape[ax] - (1 if ax == 0 else 0) for ax in range(ndim))
         while True:
@@ -335,10 +343,14 @@ class CellSolver:
                 lev.alpha, lev.beta,
                 _coarsen_cells(lev.acoef, ndim) if lev.acoef is not None else None,
                 tuple(_coarsen_face(lev.bcoef[ax], ax, ndim)
-                      for ax in range(ndim)))
+                      for ax in range(ndim)),
+                # ebc ~ area/volume: physical EB area is preserved under
+                # coarsening => coefficient scales by 1/2 per level
+                0.5 * _coarsen_cells(lev.ebc, ndim)
+                if lev.ebc is not None else None)
         self.levels = levels
         self.diags = [cell_diag(l) for l in levels]
-        self.singular = (alpha == 0.0) and all(
+        self.singular = (alpha == 0.0) and (ebc is None) and all(
             b != SolverBC.DIRICHLET for b in list(bc_lo) + list(bc_hi))
 
     # -- smoother ------------------------------------------------------

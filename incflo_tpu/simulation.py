@@ -48,6 +48,16 @@ class Simulation:
         if cfg.use_godunov:
             self.godunov = godunov.GodunovScheme(
                 cfg.grid, cfg.godunov_ppm, cfg.godunov_use_forces_in_trans)
+        # embedded boundaries: precompute static cut-cell geometry
+        self.eb = None
+        if cfg.eb_geometry not in ("", "all_regular", "null"):
+            from incflo_tpu.eb import geometry as ebgeom
+            from incflo_tpu.eb import ops as ebops
+            phi_if = ebgeom.make_eb_geometry(cfg.eb_geometry, cfg.pp,
+                                             cfg.grid)
+            data = ebgeom.compute_eb_data(phi_if, cfg.grid)
+            if data.has_eb:
+                self.eb = ebops.build_eb_arrays(data, cfg.grid, self.dtype)
         self._advance = jax.jit(self._advance_impl)
         self._initial_iteration = jax.jit(self._initial_iteration_impl)
         self._init_project = jax.jit(self._initial_projection_impl)
@@ -97,8 +107,13 @@ class Simulation:
         cfg = self.cfg
         grid = self.grid
         dxinv = jnp.asarray([1.0 / d for d in grid.dx], self.dtype)
-        conv_cfl = jnp.max(jnp.abs(vel) * dxinv)
-        forc_cfl = jnp.max(jnp.abs(vel_forces) * dxinv)
+        if self.eb is not None:   # exclude covered cells from the reduction
+            mask = self.eb.fluid[..., None]
+            conv_cfl = jnp.max(jnp.abs(vel) * mask * dxinv)
+            forc_cfl = jnp.max(jnp.abs(vel_forces) * mask * dxinv)
+        else:
+            conv_cfl = jnp.max(jnp.abs(vel) * dxinv)
+            forc_cfl = jnp.max(jnp.abs(vel_forces) * dxinv)
         explicit_diffusion = cfg.diff_type == DiffusionType.Explicit
         if explicit_diffusion:
             diff_cfl = (jnp.max(1.0 / rho) * cfg.mu
@@ -218,22 +233,30 @@ class Simulation:
         umac, mac_phi, mac_res, mac_it = mac_projection.project_mac_velocities(
             umac, beta, grid, cfg.bc_kind, phi0=mac_phi0,
             rtol=cfg.mac_mg_rtol, atol=cfg.mac_mg_atol,
-            maxiter=cfg.mac_mg_maxiter)
+            maxiter=cfg.mac_mg_maxiter, eb=self.eb)
 
-        conv_u = mol.convective_rate(
+        from incflo_tpu.eb import ops as ebops
+
+        def rate(fluxes):
+            if self.eb is None:
+                return mol.convective_rate(fluxes, grid)
+            r = ebops.eb_convective_rate(fluxes, grid, self.eb)
+            return ebops.redistribute(r, grid, self.eb)
+
+        conv_u = rate(
             mol.compute_convective_fluxes(vel_g, umac, grid, ng,
-                                          self.vel_bcrec), grid)
+                                          self.vel_bcrec))
         if cfg.constant_density:
             conv_r = jnp.zeros_like(rho)
         else:
-            conv_r = mol.convective_rate(
+            conv_r = rate(
                 mol.compute_convective_fluxes(rho_g[..., None], umac, grid,
-                                              ng, self.den_bcrec), grid)[..., 0]
+                                              ng, self.den_bcrec))[..., 0]
         if cfg.advect_tracer:
             rhotrac = rho_g[..., None] * tra_g
-            conv_t = mol.convective_rate(
+            conv_t = rate(
                 mol.compute_convective_fluxes(rhotrac, umac, grid, ng,
-                                              self.tra_bcrec), grid)
+                                              self.tra_bcrec))
         else:
             conv_t = jnp.zeros_like(tra)
         return conv_u, conv_r, conv_t, umac, mac_phi
@@ -259,8 +282,15 @@ class Simulation:
             inflow_scale = 1.0 - small_dt_flag
 
         sigma = scaling / rho_proj
+        if self.eb is not None:
+            # EB weak form: sigma and the divergence are vfrac-weighted
+            sigma_op = sigma * self.eb.vfrac
+            vel_in = vel_in * self.eb.vfrac[..., None]
+        else:
+            sigma_op = sigma
         bc_lo, bc_hi = mac_projection.projection_solver_bc(cfg.bc_kind, grid)
-        solver = mg.NodalSolver(grid.dx, grid.periodic, bc_lo, bc_hi, sigma)
+        solver = mg.NodalSolver(grid.dx, grid.periodic, bc_lo, bc_hi,
+                                sigma_op)
 
         upads = self._pad_vel_for_divergence(vel_in, inflow_scale)
         rhs = mg._nodes_unique(mg.nodal_divergence(upads, grid.dx),
@@ -270,6 +300,8 @@ class Simulation:
                                     maxiter=cfg.nodal_mg_maxiter)
         gphi = solver.grad_at_cells(phi)
         vel_new = vel - sigma[..., None] * gphi
+        if self.eb is not None:
+            vel_new = vel_new * self.eb.fluid[..., None]
         if incremental:
             p_new, gp_new = p + phi, gp + gphi
         else:
@@ -320,7 +352,7 @@ class Simulation:
         vel_o, rho_o, tra_o = old.velocity, old.density, old.tracer
 
         vel_g = self.grow_vel(vel_o, ng)
-        eta_g1 = rheology.compute_viscosity(vel_g, grid, ng, cfg, out_ng=1)
+        eta_g1 = self._viscosity(vel_g, ng)
         eta_faces = diffusion.eta_to_faces(eta_g1, grid)
         tra_eta_faces = self._tracer_eta_faces()
 
@@ -328,10 +360,11 @@ class Simulation:
         if cfg.need_divtau() or cfg.use_tensor_correction:
             divtau_o = diffusion.compute_divtau(vel_o, vel_g, rho_o,
                                                 eta_faces, eta_g1, cfg,
-                                                grid, ng)
+                                                grid, ng, eb=self.eb)
         laps_o = None
         if cfg.advect_tracer and cfg.need_divtau():
-            laps_o = diffusion.compute_laps(tra_o, tra_eta_faces, cfg, grid)
+            laps_o = diffusion.compute_laps(tra_o, tra_eta_faces, cfg, grid,
+                                            eb=self.eb)
 
         if cfg.use_godunov:
             conv_u, conv_r, conv_t, umac, mac_phi = \
@@ -365,7 +398,7 @@ class Simulation:
                 dt_diff = dt if cfg.diff_type == DiffusionType.Implicit else 0.5 * dt
                 tra_new = diffusion.diffuse_scalar(tra_new, rho_new,
                                                    tra_eta_faces, dt_diff,
-                                                   cfg, grid)
+                                                   cfg, grid, eb=self.eb)
 
         # velocity update
         vel_f = self.compute_vel_forces(rho_nph, tra_o, tra_new, old.gp)
@@ -382,11 +415,16 @@ class Simulation:
                              DiffusionType.Implicit):
             dt_diff = dt if cfg.diff_type == DiffusionType.Implicit else 0.5 * dt
             vel_new = diffusion.diffuse_velocity(vel_new, rho_new, eta_faces,
-                                                 dt_diff, cfg, grid)
+                                                 dt_diff, cfg, grid,
+                                                 eb=self.eb, eta_g1=eta_g1)
 
         vel_new, p_new, gp_new, nodal_res, nodal_it = self.apply_projection(
             vel_new, vel_o, rho_nph, old.gp, old.p, dt, incremental,
             small_dt_flag)
+
+        if self.eb is not None:
+            from incflo_tpu.eb import ops as ebops
+            vel_new = ebops.correct_small_cells(vel_new, umac, grid, self.eb)
 
         new = LevelState(velocity=vel_new, density=rho_new, tracer=tra_new,
                          gp=gp_new, p=p_new, mac_phi=mac_phi)
@@ -409,7 +447,7 @@ class Simulation:
             star.velocity, star.density, star.tracer, star.mac_phi)
 
         vel_g = self.grow_vel(star.velocity, ng)
-        eta_g1 = rheology.compute_viscosity(vel_g, grid, ng, cfg, out_ng=1)
+        eta_g1 = self._viscosity(vel_g, ng)
         eta_faces = diffusion.eta_to_faces(eta_g1, grid)
         tra_eta_faces = self._tracer_eta_faces()
 
@@ -417,10 +455,12 @@ class Simulation:
         if cfg.diff_type == DiffusionType.Explicit or cfg.use_tensor_correction:
             divtau = diffusion.compute_divtau(star.velocity, vel_g,
                                               star.density, eta_faces,
-                                              eta_g1, cfg, grid, ng)
+                                              eta_g1, cfg, grid, ng,
+                                              eb=self.eb)
         laps = None
         if cfg.advect_tracer and cfg.diff_type == DiffusionType.Explicit:
-            laps = diffusion.compute_laps(star.tracer, tra_eta_faces, cfg, grid)
+            laps = diffusion.compute_laps(star.tracer, tra_eta_faces, cfg,
+                                          grid, eb=self.eb)
 
         if cfg.constant_density:
             rho_new, rho_nph = rho_o, rho_o
@@ -443,7 +483,7 @@ class Simulation:
                 dt_diff = dt if cfg.diff_type == DiffusionType.Implicit else 0.5 * dt
                 tra_new = diffusion.diffuse_scalar(tra_new, rho_new,
                                                    tra_eta_faces, dt_diff,
-                                                   cfg, grid)
+                                                   cfg, grid, eb=self.eb)
 
         vel_f = self.compute_vel_forces(rho_nph, tra_o, tra_new, star.gp)
         dv = 0.5 * (conv_u + aux["conv_u"]) + vel_f
@@ -459,13 +499,30 @@ class Simulation:
                              DiffusionType.Implicit):
             dt_diff = dt if cfg.diff_type == DiffusionType.Implicit else 0.5 * dt
             vel_new = diffusion.diffuse_velocity(vel_new, rho_new, eta_faces,
-                                                 dt_diff, cfg, grid)
+                                                 dt_diff, cfg, grid,
+                                                 eb=self.eb, eta_g1=eta_g1)
 
         vel_new, p_new, gp_new, nodal_res, nodal_it = self.apply_projection(
             vel_new, vel_o, rho_nph, star.gp, old.p, dt, False, small_dt_flag)
 
+        if self.eb is not None:
+            from incflo_tpu.eb import ops as ebops
+            vel_new = ebops.correct_small_cells(vel_new, umac, grid, self.eb)
+
         return LevelState(velocity=vel_new, density=rho_new, tracer=tra_new,
                           gp=gp_new, p=p_new, mac_phi=mac_phi)
+
+    def _viscosity(self, vel_g, ng):
+        """eta grown by 1; covered cells get eta=0 (reference
+        compute_viscosity_at_level covered branch)."""
+        eta_g1 = rheology.compute_viscosity(vel_g, self.grid, ng, self.cfg,
+                                            out_ng=1)
+        if self.eb is not None:
+            fluid_g1 = bcs.grow_scalar(self.eb.fluid, 1, self.grid,
+                                       bcs.make_bcrecs(1, self.grid.ndim) * 0
+                                       + int(bcs.BCType.foextrap))
+            eta_g1 = eta_g1 * fluid_g1
+        return eta_g1
 
     def _tracer_eta_faces(self):
         grid = self.grid
@@ -527,6 +584,11 @@ class Simulation:
     def init_state(self) -> SimState:
         cfg = self.cfg
         level = probs.init_fluid(cfg, self.grid, self.dtype)
+        if self.eb is not None:
+            f = self.eb.fluid
+            level = level._replace(
+                velocity=level.velocity * f[..., None],
+                tracer=level.tracer * f[..., None])
         zero = jnp.zeros((), self.dtype)
         s = SimState(level=level, t=zero, dt=zero, prev_dt=zero,
                      prev_prev_dt=zero, step=jnp.zeros((), jnp.int32))

@@ -1,0 +1,103 @@
+"""Embedded-boundary tests: geometry accuracy + cut-cell flow physics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from incflo_tpu.config import IncfloConfig
+from incflo_tpu.grid import Grid
+from incflo_tpu.eb import geometry as ebg
+from incflo_tpu.eb import ops as ebops
+from incflo_tpu.simulation import Simulation
+
+
+class _Circle(ebg.IF):
+    def __init__(self, r, c):
+        self.r, self.c = r, c
+
+    def __call__(self, coords):
+        return sum((x - cc) ** 2 for x, cc in zip(coords, self.c)) - self.r ** 2
+
+
+def test_geometry_circle_area():
+    g = Grid((32, 32), (0., 0.), (1., 1.), (False, False))
+    eb = ebg.compute_eb_data(_Circle(0.3, (0.5, 0.5)), g, refine=4)
+    area = eb.vfrac.sum() * (1 / 32) ** 2
+    assert abs(area - np.pi * 0.09) < 2e-4
+    # EB perimeter via divergence theorem
+    per = eb.eb_area.sum() * (1 / 32)
+    assert abs(per - 2 * np.pi * 0.3) < 2e-2
+
+
+def test_geometry_sphere_volume():
+    g = Grid((16, 16, 16), (0.,) * 3, (1.,) * 3, (False,) * 3)
+    eb = ebg.compute_eb_data(ebg.SphereIF(0.3, (0.5, 0.5, 0.5), True), g,
+                             refine=4)
+    vol = eb.vfrac.sum() * (1 / 16) ** 3
+    assert abs(vol / (4 / 3 * np.pi * 0.027) - 1) < 5e-3
+
+
+def test_redistribution_conserves():
+    """Redistribution must conserve sum(vfrac * dUdt)."""
+    g = Grid((16, 16), (0., 0.), (1., 1.), (True, True))
+    eb = ebg.compute_eb_data(_Circle(0.55, (0.5, 0.5)), g, refine=4)
+    arr = ebops.build_eb_arrays(eb, g, jnp.float64)
+    rng = np.random.RandomState(0)
+    dUdt = jnp.asarray(rng.randn(16, 16, 1)) * arr.fluid[..., None]
+    out = ebops.redistribute(dUdt, g, arr)
+    m0 = float(jnp.sum(arr.vfrac[..., None] * dUdt))
+    m1 = float(jnp.sum(arr.vfrac[..., None] * out))
+    assert abs(m1 - m0) < 1e-10 * max(1.0, abs(m0))
+
+
+@pytest.mark.slow
+def test_poiseuille_cylinder():
+    """Axial flow in a cylinder driven by delp (the reference
+    benchmark.poiseuille_cylinder_* setup, Newtonian, smaller):
+    steady w(r) = G/(4 mu) (R^2 - r^2), max = G R^2/(4 mu).
+
+    Run transiently from rest and check the profile approaches the
+    parabola (first-order EB walls -> modest tolerance)."""
+    n = 32
+    mu = 1.0
+    text = f"""
+amr.n_cell = {n} {n} 4
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 4. 4. 0.5
+geometry.is_periodic = 1 1 1
+incflo.probtype = 0
+incflo.mu = {mu}
+incflo.ro_0 = 1.
+incflo.fixed_dt = 0.05
+incflo.cfl = 0.45
+incflo.diffusion_type = 2
+incflo.initial_iterations = 0
+incflo.delp = 0. 0. 2.
+incflo.geometry = "cylinder"
+cylinder.internal_flow = true
+cylinder.radius = 1.
+cylinder.direction = 2
+cylinder.center = 2. 2. 0.
+max_step = 60
+"""
+    cfg = IncfloConfig.from_text(text)
+    sim = Simulation(cfg)
+    assert sim.eb is not None
+    s = sim.init_state()
+    for _ in range(60):
+        s = sim.advance(s)
+    w = np.asarray(s.level.velocity[..., 2])
+    assert np.isfinite(w).all()
+    # G = -dp/dz = delp/L = 2/0.5 = 4 ; w_max = G R^2 / (4 mu) = 1.0
+    wc = w[:, :, 2]
+    xc = (np.arange(n) + 0.5) * (4.0 / n)
+    r2 = (xc.reshape(-1, 1) - 2) ** 2 + (xc.reshape(1, -1) - 2) ** 2
+    exact = np.maximum(0.0, 4.0 / (4 * mu) * (1.0 - r2))
+    fluid = np.asarray(sim.eb.fluid[:, :, 2]) > 0.5
+    interior = fluid & (r2 < 0.6)   # away from the EB wall
+    err = np.abs(wc - exact)[interior]
+    rel = err.max() / exact.max()
+    assert rel < 0.1, f"relative error {rel}"
+    # no-slip held: velocity small near the wall
+    nearwall = fluid & (r2 > 0.9)
+    assert np.abs(wc[nearwall]).max() < 0.35 * exact.max()
