@@ -333,12 +333,20 @@ class IncfloConfig:
         c.plt_error_p = bool(amr.query("plt_error_p", False))
         c.plt_error_mac_p = bool(amr.query("plt_error_mac_p", False))
 
-        # tagging ----------------------------------------------------------
+        # tagging; single values extend to all levels (reference
+        # incflo_tagging.cpp:26-34 resize-with-last)
         nlev = c.max_level + 1
-        c.rhoerr = tuple(inc.queryarr("rhoerr", [], None)) \
-            if inc.contains("rhoerr") else ()
-        c.gradrhoerr = tuple(inc.queryarr("gradrhoerr", [], None)) \
-            if inc.contains("gradrhoerr") else ()
+
+        def _levarr(name):
+            if not inc.contains(name):
+                return ()
+            v = [float(x) for x in inc.queryarr(name, [], None)]
+            if v:
+                v = v + [v[-1]] * (nlev - len(v))
+            return tuple(v[:nlev])
+
+        c.rhoerr = _levarr("rhoerr")
+        c.gradrhoerr = _levarr("gradrhoerr")
         c.tag_region = bool(inc.query("tag_region", False))
         c.tag_region_lo = tuple(inc.queryarr("tag_region_lo", [0.0] * ndim, ndim))
         c.tag_region_hi = tuple(inc.queryarr("tag_region_hi", [0.0] * ndim, ndim))

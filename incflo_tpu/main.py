@@ -46,22 +46,40 @@ def run(argv):
     from incflo_tpu.simulation import Simulation
     from incflo_tpu.utils import io
 
-    sim = Simulation(cfg)
+    if cfg.max_level > 0:
+        from incflo_tpu.amr import AMRSimulation
+        amr = AMRSimulation(cfg)
+        sim = amr.sim
+        io_cfg = amr.fine_cfg
+        driver = amr
+
+        def write_plot(path, s):
+            io.write_plotfile_amr(path, s, amr, cfg)
+    else:
+        amr = None
+        sim = Simulation(cfg)
+        io_cfg = cfg
+        driver = sim
+
+        def write_plot(path, s):
+            io.write_plotfile(path, s, cfg, sim)
 
     t0 = wallclock.time()
     if cfg.restart_file:
         print(f"Restarting from checkpoint {cfg.restart_file}")
-        s = io.read_checkpoint(cfg.restart_file, cfg, sim.dtype)
+        s = io.read_checkpoint(cfg.restart_file, io_cfg, sim.dtype)
+        if amr is not None:
+            amr.regrid(s)
         if cfg.plotfile_on_restart:
             path = f"{cfg.plot_file}{int(s.step):05d}"
-            io.write_plotfile(path, s, cfg, sim)
+            write_plot(path, s)
     else:
-        s = sim.init_state()
+        s = driver.init_state()
         if cfg.check_int > 0:
-            io.write_checkpoint(f"{cfg.check_file}{int(s.step):05d}", s, cfg)
+            io.write_checkpoint(f"{cfg.check_file}{int(s.step):05d}", s, io_cfg)
         if cfg.plot_int > 0 or cfg.plot_per_exact > 0 or cfg.plot_per_approx > 0:
             path = f"{cfg.plot_file}{int(s.step):05d}"
-            io.write_plotfile(path, s, cfg, sim)
+            write_plot(path, s)
             io.write_job_info(path, cfg)
     init_time = wallclock.time() - t0
     print(f"Time spent in InitData():    {init_time}")
@@ -82,7 +100,7 @@ def run(argv):
 
         step_t0 = wallclock.time()
         prev_level = s.level
-        s = sim.advance(s)
+        s = driver.advance(s)
         jax.block_until_ready(s.level.velocity)
         nsteps += 1
         t, step, dt = float(s.t), int(s.step), float(s.dt)
@@ -92,7 +110,7 @@ def run(argv):
         if cfg.verbose > 1:
             diagnostics.print_max_values(s.level, t)
         if cfg.KE_int > 0 and step % cfg.KE_int == 0:
-            ke = diagnostics.kinetic_energy(s.level, cfg.grid)
+            ke = diagnostics.kinetic_energy(s.level, io_cfg.grid)
             print(f"Time, Kinetic Energy: {t}, {ke}")
         if cfg.steady_state and diagnostics.steady_state_reached(
                 prev_level, s.level, dt, cfg.steady_state_tol):
@@ -101,11 +119,11 @@ def run(argv):
 
         if write_now(step, t, dt, last_plt, cfg):
             path = f"{cfg.plot_file}{step:05d}"
-            io.write_plotfile(path, s, cfg, sim)
+            write_plot(path, s)
             io.write_job_info(path, cfg)
             last_plt = step
         if cfg.check_int > 0 and step % cfg.check_int == 0:
-            io.write_checkpoint(f"{cfg.check_file}{step:05d}", s, cfg)
+            io.write_checkpoint(f"{cfg.check_file}{step:05d}", s, io_cfg)
             last_chk = step
 
     evolve_time = wallclock.time() - t0
@@ -117,9 +135,9 @@ def run(argv):
     t, step = float(s.t), int(s.step)
     if cfg.plot_int > 0 or cfg.plot_per_exact > 0 or cfg.plot_per_approx > 0:
         if step != last_plt:
-            io.write_plotfile(f"{cfg.plot_file}{step:05d}", s, cfg, sim)
+            write_plot(f"{cfg.plot_file}{step:05d}", s)
     if cfg.check_int > 0 and step != last_chk:
-        io.write_checkpoint(f"{cfg.check_file}{step:05d}", s, cfg)
+        io.write_checkpoint(f"{cfg.check_file}{step:05d}", s, io_cfg)
     return 0
 
 

@@ -189,6 +189,38 @@ def write_plotfile(path: str, s: SimState, cfg: IncfloConfig, sim):
     return fields
 
 
+def write_plotfile_amr(path: str, s: SimState, amrsim, cfg: IncfloConfig):
+    """Multi-level plotfile: Level_l.npz holds the level-l view of the
+    solution (average_down) plus its refinement mask; the Header lists
+    the hierarchy like the reference's WriteMultiLevelPlotfile."""
+    import dataclasses as _dc
+    os.makedirs(path, exist_ok=True)
+    fine_fields = gather_plot_fields(s, amrsim.fine_cfg, amrsim.sim)
+    nd = cfg.grid.ndim
+    from incflo_tpu.amr import average_down
+    for lev in range(amrsim.max_level + 1):
+        r = amrsim.ratio ** (amrsim.max_level - lev)
+        out = {}
+        for k, v in fine_fields.items():
+            out[k] = np.asarray(average_down(jnp.asarray(v), r, nd)) \
+                if r > 1 else v
+        if lev < amrsim.max_level and amrsim.masks[lev] is not None:
+            out["refine_mask"] = np.asarray(amrsim.masks[lev])
+        np.savez(os.path.join(path, f"Level_{lev}.npz"), **out)
+    hdr = {
+        "version": "IncfloTPU-Plotfile-1",
+        "step": int(s.step), "time": float(s.t), "dt": float(s.dt),
+        "prob_lo": list(cfg.grid.prob_lo), "prob_hi": list(cfg.grid.prob_hi),
+        "n_cell": list(cfg.grid.n_cell),
+        "finest_level": amrsim.max_level,
+        "ref_ratio": amrsim.ratio,
+        "fields": sorted(fine_fields.keys()),
+    }
+    with open(os.path.join(path, "Header"), "w") as f:
+        json.dump(hdr, f, indent=1)
+    return fine_fields
+
+
 def write_job_info(path: str, cfg: IncfloConfig):
     """Provenance dump (reference WriteJobInfo, io.cpp:228-313)."""
     import incflo_tpu
