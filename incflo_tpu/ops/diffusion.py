@@ -286,19 +286,46 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
     else:
         ebc = None
         acoef = rho
-    comps = []
-    for c in range(grid.ndim):
-        bc_lo, bc_hi = velocity_solver_bc(cfg, c)
+    bcs_all = [velocity_solver_bc(cfg, c) for c in range(grid.ndim)]
+
+    if all(b == bcs_all[0] for b in bcs_all):
+        # identical operator for every component: ONE batched solve with
+        # the components as an uncolored trailing axis (3x fewer V-cycle
+        # loops -- a large win on TPU)
+        bc_lo, bc_hi = bcs_all[0]
+        eta_b = [b[..., None] for b in _eb_faces(eta_faces, eb)]
         solver = mg.CellSolver(grid.dx, bc_lo, bc_hi, alpha=1.0,
-                               beta=dt_diff, acoef=acoef,
-                               bcoef=tuple(_eb_faces(eta_faces, eb)),
-                               ebc=ebc)
-        rhs = acoef * vel[..., c]
-        x, res, it = solver.solve_inhom(rhs, velocity_bvals(cfg, c, dtype),
-                                        x0=vel[..., c], rtol=rtol, atol=atol,
-                                        maxiter=cfg.diff_mg_maxiter)
-        comps.append(x)
-    out = jnp.stack(comps, axis=-1)
+                               beta=dt_diff, acoef=acoef[..., None],
+                               bcoef=tuple(eta_b),
+                               ebc=ebc[..., None] if ebc is not None else None)
+        bvals = {}
+        for ax in range(cfg.ndim):
+            if grid.periodic[ax]:
+                continue
+            for side in range(2):
+                vals = [jnp.asarray(velocity_bvals(cfg, c, dtype)[(ax, side)])
+                        for c in range(grid.ndim)]
+                vals = jnp.broadcast_arrays(*vals)
+                bvals[(ax, side)] = jnp.stack(vals, axis=-1)
+        rhs = acoef[..., None] * vel
+        out, res, it = solver.solve_inhom(rhs, bvals, x0=vel, rtol=rtol,
+                                          atol=atol,
+                                          maxiter=cfg.diff_mg_maxiter)
+    else:
+        comps = []
+        for c in range(grid.ndim):
+            bc_lo, bc_hi = bcs_all[c]
+            solver = mg.CellSolver(grid.dx, bc_lo, bc_hi, alpha=1.0,
+                                   beta=dt_diff, acoef=acoef,
+                                   bcoef=tuple(_eb_faces(eta_faces, eb)),
+                                   ebc=ebc)
+            rhs = acoef * vel[..., c]
+            x, res, it = solver.solve_inhom(rhs, velocity_bvals(cfg, c, dtype),
+                                            x0=vel[..., c], rtol=rtol,
+                                            atol=atol,
+                                            maxiter=cfg.diff_mg_maxiter)
+            comps.append(x)
+        out = jnp.stack(comps, axis=-1)
     if eb is not None:
         out = out * eb.fluid[..., None]
     return out

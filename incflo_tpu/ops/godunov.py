@@ -464,7 +464,16 @@ class GodunovScheme:
     # MAC prediction
     # ------------------------------------------------------------------
     def predict(self, vel_g: jnp.ndarray, forces_g: Optional[jnp.ndarray],
-                dt, ng: int, bcrecs: np.ndarray) -> List[jnp.ndarray]:
+                dt, ng: int, bcrecs: np.ndarray,
+                gmacphi: Optional[List[jnp.ndarray]] = None
+                ) -> List[jnp.ndarray]:
+        """gmacphi: (1/rho) grad(mac_phi) fluxes on faces for the
+        use_mac_phi_in_godunov warm start (reference predict_*D.cpp:
+        subtract 0.5*dt*gphi from the traces, add it back after the
+        Riemann selection)."""
+        return self._predict(vel_g, forces_g, dt, ng, bcrecs, gmacphi)
+
+    def _predict(self, vel_g, forces_g, dt, ng, bcrecs, gmacphi=None):
         g = self.grid
         nd = self.nd
         org = (-ng,) * nd
@@ -533,10 +542,20 @@ class GodunovScheme:
                 stl = stl + 0.5 * dt * fcomps[c].win(r_lo)
                 sth = sth + 0.5 * dt * fcomps[c].win(r_face)
 
+            gphi = None
+            if gmacphi is not None:
+                # getFluxes returns (-1/rho G phi); use the negative
+                gphi = -gmacphi[d]
+                stl = stl - 0.5 * dt * gphi
+                sth = sth - 0.5 * dt * gphi
+
             stl, sth = self._cc_bc(d, stl, sth, comps[c], bc_of(c, d),
                                    True, c, r_face)
             stl, sth = self._prevent_backflow(d, stl, sth, bc_of(c, d))
-            out.append(self._riemann(stl, sth))
+            q = self._riemann(stl, sth)
+            if gphi is not None:
+                q = q + 0.5 * dt * gphi
+            out.append(q)
         return out
 
     def _corner_stage(self, t, o, d, c, xlo, xhi, edge, w_sel, qf, bc_t,

@@ -77,10 +77,12 @@ def _slice_axis(x, axis, sl):
     return x[tuple(s)]
 
 
-def _checkerboards(shape, dtype):
-    """Red/black masks over the first len(shape) axes."""
+def _checkerboards(shape, dtype, ndim=None):
+    """Red/black masks over the first `ndim` (spatial) axes; trailing
+    batch/component axes are uncolored."""
+    nd = len(shape) if ndim is None else ndim
     par = 0
-    for ax, n in enumerate(shape):
+    for ax in range(nd):
         idx = jax.lax.broadcasted_iota(jnp.int32, shape, ax)
         par = par + idx
     red = ((par % 2) == 0).astype(dtype)
@@ -321,7 +323,7 @@ class CellSolver:
     """Geometric MG for the cell-centered operator on one grid."""
 
     def __init__(self, dx, bc_lo, bc_hi, alpha, beta, acoef, bcoef,
-                 max_levels=30, nu1=2, nu2=2, nu_bottom=40, ebc=None):
+                 max_levels=30, nu1=2, nu2=2, nu_bottom=16, ebc=None):
         ndim = len(dx)
         self.ndim = ndim
         self.nu1, self.nu2, self.nu_bottom = nu1, nu2, nu_bottom
@@ -329,7 +331,7 @@ class CellSolver:
         lev = CellLevel(tuple(dx), tuple(int(b) for b in bc_lo),
                         tuple(int(b) for b in bc_hi), alpha, beta,
                         acoef, tuple(bcoef), ebc)
-        cells = acoef.shape if acoef is not None else tuple(
+        cells = tuple(acoef.shape[:ndim]) if acoef is not None else tuple(
             bcoef[0].shape[ax] - (1 if ax == 0 else 0) for ax in range(ndim))
         while True:
             levels.append(lev)
@@ -356,7 +358,7 @@ class CellSolver:
     # -- smoother ------------------------------------------------------
     def _smooth(self, x, b, li, n):
         lev, diag = self.levels[li], self.diags[li]
-        red, black = _checkerboards(x.shape, x.dtype)
+        red, black = _checkerboards(x.shape, x.dtype, self.ndim)
         inv = 1.0 / jnp.where(diag == 0, 1.0, diag)
 
         def sweep(x, _):
@@ -380,7 +382,9 @@ class CellSolver:
         return x
 
     def solve(self, rhs, x0=None, rtol=1e-11, atol=1e-14, maxiter=200):
-        """Returns (x, resnorm, iters)."""
+        """Returns (x, resnorm, iters).  Terminates on tolerance, maxiter,
+        or stall (residual no longer decreasing -- the attainable floor of
+        the working precision, important for float32)."""
         lev = self.levels[0]
         if x0 is None:
             x0 = jnp.zeros_like(rhs)
@@ -390,17 +394,21 @@ class CellSolver:
         tol = jnp.maximum(rtol * bnorm, atol)
 
         def cond(c):
-            x, res, it = c
-            return jnp.logical_and(res > tol, it < maxiter)
+            x, res, prev, it = c
+            progressing = res < 0.95 * prev
+            return jnp.logical_and(jnp.logical_and(res > tol, it < maxiter),
+                                   progressing)
 
         def body(c):
-            x, _, it = c
+            x, res, _, it = c
             x = self._vcycle(x, rhs)
-            res = _maxnorm(rhs - cell_apply(x, lev))
-            return x, res, it + 1
+            new_res = _maxnorm(rhs - cell_apply(x, lev))
+            return x, new_res, res, it + 1
 
         res0 = _maxnorm(rhs - cell_apply(x0, lev))
-        x, res, it = jax.lax.while_loop(cond, body, (x0, res0, jnp.array(0)))
+        big = jnp.asarray(jnp.inf, res0.dtype)
+        x, res, _, it = jax.lax.while_loop(
+            cond, body, (x0, res0, big, jnp.array(0)))
         if self.singular:
             x = x - jnp.mean(x)
         return x, res, it
@@ -639,7 +647,7 @@ class NodalSolver:
     """Geometric MG for the nodal sigma-Poisson (the north-star solver)."""
 
     def __init__(self, dx, periodic, bc_lo, bc_hi, sigma,
-                 max_levels=30, nu1=2, nu2=2, nu_bottom=60):
+                 max_levels=30, nu1=2, nu2=2, nu_bottom=24):
         ndim = len(dx)
         self.ndim = ndim
         self.nu1, self.nu2, self.nu_bottom = nu1, nu2, nu_bottom
@@ -701,17 +709,21 @@ class NodalSolver:
         tol = jnp.maximum(rtol * bnorm, atol)
 
         def cond(c):
-            x, res, it = c
-            return jnp.logical_and(res > tol, it < maxiter)
+            x, res, prev, it = c
+            progressing = res < 0.95 * prev
+            return jnp.logical_and(jnp.logical_and(res > tol, it < maxiter),
+                                   progressing)
 
         def body(c):
-            x, _, it = c
+            x, res, _, it = c
             x = self._vcycle(x, rhs)
-            res = _maxnorm(rhs - nodal_apply(x, lev))
-            return x, res, it + 1
+            new_res = _maxnorm(rhs - nodal_apply(x, lev))
+            return x, new_res, res, it + 1
 
         res0 = _maxnorm(rhs - nodal_apply(x0, lev))
-        x, res, it = jax.lax.while_loop(cond, body, (x0, res0, jnp.array(0)))
+        big = jnp.asarray(jnp.inf, res0.dtype)
+        x, res, _, it = jax.lax.while_loop(
+            cond, body, (x0, res0, big, jnp.array(0)))
         if self.singular:
             x = x - jnp.mean(x)
         return x, res, it

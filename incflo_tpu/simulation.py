@@ -183,13 +183,31 @@ class Simulation:
             vf = vf + divtau_o
         vf_g = self.grow_force(vf)
 
-        umac = self.godunov.predict(vel_g, vf_g, dt, ng, self.vel_bcrec)
         rho_g1 = inner(rho_g, ng - 1, grid.ndim)
         beta = mac_projection.inv_rho_on_faces(rho_g1, grid)
+
+        gmacphi = None
+        phi0 = mac_phi0
+        if cfg.use_mac_phi_in_godunov:
+            # mac_phi is stored pressure-like (2 phi/dt); getFluxes analog
+            # returns -(1/rho) grad(mac_phi) on faces
+            bc_lo, bc_hi = mac_projection.projection_solver_bc(cfg.bc_kind,
+                                                               grid)
+            beta_op = [beta[d] * self.eb.afrac[d] for d in range(grid.ndim)] \
+                if self.eb is not None else beta
+            lev0 = mg.CellLevel(grid.dx, tuple(bc_lo), tuple(bc_hi),
+                                0.0, 1.0, None, tuple(beta_op))
+            gmacphi = [-f for f in mg.cell_fluxes(mac_phi0, lev0)]
+            phi0 = mac_phi0 * (0.5 * dt)
+
+        umac = self.godunov.predict(vel_g, vf_g, dt, ng, self.vel_bcrec,
+                                    gmacphi=gmacphi)
         umac, mac_phi, mac_res, mac_it = mac_projection.project_mac_velocities(
-            umac, beta, grid, cfg.bc_kind, phi0=mac_phi0,
+            umac, beta, grid, cfg.bc_kind, phi0=phi0,
             rtol=cfg.mac_mg_rtol, atol=cfg.mac_mg_atol,
-            maxiter=cfg.mac_mg_maxiter)
+            maxiter=cfg.mac_mg_maxiter, eb=self.eb)
+        if cfg.use_mac_phi_in_godunov:
+            mac_phi = mac_phi * (2.0 / dt)
 
         # re-compute forcing with the full pressure gradient
         vf = self.compute_vel_forces(rho_for_forces, tra, tra_new, gp)
