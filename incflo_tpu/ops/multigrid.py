@@ -358,8 +358,21 @@ class CellSolver:
     # -- smoother ------------------------------------------------------
     def _smooth(self, x, b, li, n):
         lev, diag = self.levels[li], self.diags[li]
-        red, black = _checkerboards(x.shape, x.dtype, self.ndim)
         inv = 1.0 / jnp.where(diag == 0, 1.0, diag)
+
+        from incflo_tpu.ops import pallas_smoother as psm
+        if psm.ENABLED and psm.supported(x, lev):
+            pad_fn = lambda v: _cell_pad_hom(v, lev)
+
+            def sweep_p(x, _):
+                out = psm.rb_sweep_3d(x, b, inv, lev.acoef, lev.bcoef, lev,
+                                      pad_fn)
+                return out, None
+
+            x, _ = jax.lax.scan(sweep_p, x, None, length=n)
+            return x
+
+        red, black = _checkerboards(x.shape, x.dtype, self.ndim)
 
         def sweep(x, _):
             x = x + red * (b - cell_apply(x, lev)) * inv

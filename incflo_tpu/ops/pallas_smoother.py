@@ -1,0 +1,228 @@
+"""Pallas TPU kernel: fused red-black Gauss-Seidel sweep for the
+cell-centered multigrid smoother (the hottest op in the solver).
+
+The jnp smoother costs ~4 full HBM traversals per sweep (operator apply
++ update per color); this kernel performs BOTH colors in one pass over
+VMEM-resident slabs.
+
+TPU-native data layout: the (y, z) axes are MERGED into the lane
+dimension (ny*nz is a multiple of 128 on power-of-two grids, satisfying
+Mosaic's lane-tiling alignment for DMA slices), and tiling is over x
+slabs with a 2-cell halo.  Neighbor access on the merged axis:
+  z +- 1  -> roll by -+1      (with masked fixes at z boundaries)
+  y +- 1  -> roll by -+nz     (periodic y wraps exactly via the merged
+                               roll; non-periodic gets ghost fixes)
+Boundary ghosts (Neumann edge copy / Dirichlet maxorder-3) are
+reconstructed IN-KERNEL from rolled planes, so the black half-sweep
+sees fresh ghosts on y/z exactly like the jnp smoother.  The red update
+runs on the slab+1 ring in x so the black update sees red-updated
+x-neighbors; ring updates are recomputed identically by neighbor tiles.
+At non-periodic x domain boundaries the black pass sees the pre-sweep
+ghost (a benign smoother variant; bit-exact elsewhere).
+
+float32 3D only (Mosaic has no f64); jnp fallback otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    HAVE_PALLAS = True
+except Exception:   # pragma: no cover
+    HAVE_PALLAS = False
+
+INTERPRET = False   # set True in tests to run the kernel on CPU
+
+# Opt-in (INCFLO_PALLAS_SMOOTHER=1): on a single v5e the fused kernel
+# measures 0.81 ms/sweep vs 0.98 ms for the XLA-fused jnp smoother at
+# 128x128x32 f32 (both launch-overhead-bound at this size), while each
+# Mosaic kernel instantiation costs minutes of AOT compile on the axon
+# tunnel -- so the jnp path stays the default until compile caching or
+# larger grids tip the balance.
+import os as _os
+ENABLED = _os.environ.get("INCFLO_PALLAS_SMOOTHER", "0") == "1"
+
+PERIODIC, NEUMANN, DIRICHLET = 0, 1, 2
+
+
+def _choose_tile(nx, ny, nz, budget_bytes=8 * 1024 * 1024, itemsize=4):
+    for tbx in (128, 64, 32, 16, 8):
+        if tbx > nx or nx % tbx:
+            continue
+        if 11 * (tbx + 4) * ny * nz * itemsize <= budget_bytes:
+            return tbx
+    return None
+
+
+def _roll(a, shift, axis):
+    if INTERPRET or not HAVE_PALLAS:
+        return jnp.roll(a, shift, axis=axis)
+    return pltpu.roll(a, shift % a.shape[axis], axis=axis)
+
+
+def _rb_kernel(TBx, ny, nz, dxinv2, alpha, beta, bc_y, bc_z,
+               xp_ref, b_ref, dinv_ref, bx_ref,
+               bylo_ref, byhi_ref, bzlo_ref, bzhi_ref, acoef_ref, out_ref,
+               xs, bs, ds, bxs, bylos, byhis, bzlos, bzhis, acs, sems):
+    ti = pl.program_id(0)
+    cx = ti * TBx
+
+    # uniform slab length TBx+8 at 8-aligned offsets (Mosaic sublane rule)
+    copies = [
+        pltpu.make_async_copy(xp_ref.at[pl.ds(cx, TBx + 8)], xs, sems.at[0]),
+        pltpu.make_async_copy(b_ref.at[pl.ds(cx, TBx + 8)], bs, sems.at[1]),
+        pltpu.make_async_copy(dinv_ref.at[pl.ds(cx, TBx + 8)], ds, sems.at[2]),
+        pltpu.make_async_copy(bx_ref.at[pl.ds(cx, TBx + 8)], bxs, sems.at[3]),
+        pltpu.make_async_copy(bylo_ref.at[pl.ds(cx, TBx + 8)], bylos,
+                              sems.at[4]),
+        pltpu.make_async_copy(byhi_ref.at[pl.ds(cx, TBx + 8)], byhis,
+                              sems.at[5]),
+        pltpu.make_async_copy(bzlo_ref.at[pl.ds(cx, TBx + 8)], bzlos,
+                              sems.at[6]),
+        pltpu.make_async_copy(bzhi_ref.at[pl.ds(cx, TBx + 8)], bzhis,
+                              sems.at[7]),
+        pltpu.make_async_copy(acoef_ref.at[pl.ds(cx, TBx + 8)], acs,
+                              sems.at[8]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    ex = TBx + 2          # red-extended extent: slab indices [3, TBx+5)
+    m = ny * nz
+    idx = jax.lax.broadcasted_iota(jnp.int32, (ex, m), 1)
+    kk = idx % nz       # z index
+    jj = idx // nz      # y index
+
+    def neighbors(c):
+        """(y_up, y_dn, z_up, z_dn) of the merged-axis field c (ex, m)."""
+        y_up = _roll(c, -nz, 1)
+        y_dn = _roll(c, nz, 1)
+        if bc_y[0] != PERIODIC:
+            gh_up = -2.0 * c + y_dn / 3.0 if bc_y[1] == DIRICHLET else c
+            gh_dn = -2.0 * c + y_up / 3.0 if bc_y[0] == DIRICHLET else c
+            y_up = jnp.where(jj == ny - 1, gh_up, y_up)
+            y_dn = jnp.where(jj == 0, gh_dn, y_dn)
+        z_up_r = _roll(c, -1, 1)
+        z_dn_r = _roll(c, 1, 1)
+        if bc_z[0] == PERIODIC:
+            z_up = jnp.where(kk == nz - 1, _roll(c, nz - 1, 1), z_up_r)
+            z_dn = jnp.where(kk == 0, _roll(c, -(nz - 1), 1), z_dn_r)
+        else:
+            gh_up = -2.0 * c + z_dn_r / 3.0 if bc_z[1] == DIRICHLET else c
+            gh_dn = -2.0 * c + z_up_r / 3.0 if bc_z[0] == DIRICHLET else c
+            z_up = jnp.where(kk == nz - 1, gh_up, z_up_r)
+            z_dn = jnp.where(kk == 0, gh_dn, z_dn_r)
+        return y_up, y_dn, z_up, z_dn
+
+    def L_of(xv):
+        c = xv[3:3 + ex]
+        div = (bxs[4:4 + ex] * (xv[4:4 + ex] - c)
+               - bxs[3:3 + ex] * (c - xv[2:2 + ex])) * dxinv2[0]
+        y_up, y_dn, z_up, z_dn = neighbors(c)
+        div += (byhis[3:3 + ex] * (y_up - c)
+                - bylos[3:3 + ex] * (c - y_dn)) * dxinv2[1]
+        div += (bzhis[3:3 + ex] * (z_up - c)
+                - bzlos[3:3 + ex] * (c - z_dn)) * dxinv2[2]
+        return alpha * acs[3:3 + ex] * c - beta * div
+
+    gi = jax.lax.broadcasted_iota(jnp.int32, (ex, m), 0) + cx - 1
+    par = (gi + jj + kk) % 2
+    red = (par == 0).astype(xs.dtype)
+    black = 1.0 - red
+
+    xc = xs[3:3 + ex]
+    xs[3:3 + ex] = xc + red * (bs[3:3 + ex] - L_of(xs[...])) * ds[3:3 + ex]
+    xc2 = xs[3:3 + ex]
+    xs[3:3 + ex] = xc2 + black * (bs[3:3 + ex] - L_of(xs[...])) * ds[3:3 + ex]
+
+    out_ref[...] = xs[4:4 + TBx]
+
+
+def supported(x, lev) -> bool:
+    if not HAVE_PALLAS or x.ndim != 3 or lev.ebc is not None:
+        return False
+    if x.dtype != jnp.float32 and not INTERPRET:
+        return False   # Mosaic TPU has no f64
+    nx, ny, nz = x.shape
+    if (ny * nz) % 128 != 0:
+        return False
+    return _choose_tile(nx, ny, nz, itemsize=x.dtype.itemsize) is not None
+
+
+def rb_sweep_3d(x, b, dinv, acoef, bcoefs, lev, pad_fn=None):
+    """One full red-black sweep; returns x_new or None if unsupported."""
+    if not supported(x, lev):
+        return None
+    nx, ny, nz = x.shape
+    m = ny * nz
+    TBx = _choose_tile(nx, ny, nz, itemsize=x.dtype.itemsize)
+    x_periodic = lev.bc_lo[0] == PERIODIC
+
+    def flat(a):
+        return a.reshape(a.shape[0], m)
+
+    # pad x by 4 in x only: wrap (periodic) or BC ghost + zero ring
+    xf = flat(x)
+    if x_periodic:
+        xp = jnp.concatenate([xf[-4:], xf, xf[:4]], axis=0)
+    else:
+        q0l, q1l, q0h, q1h = xf[0:1], xf[1:2], xf[-1:], xf[-2:-1]
+        lo = q0l if lev.bc_lo[0] == NEUMANN else (-2.0 * q0l + q1l / 3.0)
+        hi = q0h if lev.bc_hi[0] == NEUMANN else (-2.0 * q0h + q1h / 3.0)
+        z3 = jnp.zeros((3, m), xf.dtype)
+        xp = jnp.concatenate([z3, lo, xf, hi, z3], axis=0)
+
+    def padx(a2d, w=4):
+        if x_periodic:
+            return jnp.concatenate([a2d[-w:], a2d, a2d[:w]], axis=0)
+        zpad = jnp.zeros((w,) + a2d.shape[1:], a2d.dtype)
+        return jnp.concatenate([zpad, a2d, zpad], axis=0)
+
+    bx, by, bz = bcoefs
+    b_ext = padx(flat(b))
+    dinv_ext = padx(flat(dinv))
+    ac_ext = padx(flat(acoef)) if acoef is not None else jnp.zeros_like(b_ext)
+    bxf = flat(bx)           # (nx+1, m); slab index i <-> face cx-4+i
+    if x_periodic:
+        n = nx
+        lo4 = bxf[n - 4:n]
+        hi3 = bxf[1:4]
+        bx_ext = jnp.concatenate([lo4, bxf, hi3], axis=0)
+    else:
+        z4 = jnp.zeros((4, m), bxf.dtype)
+        z3 = jnp.zeros((3, m), bxf.dtype)
+        bx_ext = jnp.concatenate([z4, bxf, z3], axis=0)
+    bylo = padx(flat(by[:, :-1, :]))
+    byhi = padx(flat(by[:, 1:, :]))
+    bzlo = padx(flat(bz[:, :, :-1]))
+    bzhi = padx(flat(bz[:, :, 1:]))
+
+    dxinv2 = tuple(1.0 / (d * d) for d in lev.dx)
+    bc_y = (int(lev.bc_lo[1]), int(lev.bc_hi[1]))
+    bc_z = (int(lev.bc_lo[2]), int(lev.bc_hi[2]))
+    kern = functools.partial(_rb_kernel, TBx, ny, nz, dxinv2,
+                             lev.alpha, lev.beta, bc_y, bc_z)
+
+    out = pl.pallas_call(
+        kern,
+        interpret=INTERPRET,
+        grid=(nx // TBx,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 9,
+        out_specs=pl.BlockSpec((TBx, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nx, m), x.dtype),
+        scratch_shapes=[pltpu.VMEM((TBx + 8, m), x.dtype)] * 9 + [
+            pltpu.SemaphoreType.DMA((9,)),
+        ],
+    )(xp, b_ext, dinv_ext, bx_ext, bylo, byhi, bzlo, bzhi, ac_ext)
+    return out.reshape(nx, ny, nz)

@@ -313,7 +313,9 @@ class Simulation:
         upads = self._pad_vel_for_divergence(vel_in, inflow_scale)
         rhs = mg._nodes_unique(mg.nodal_divergence(upads, grid.dx),
                                solver.levels[0])
-        phi, res, it = solver.solve(rhs, rtol=cfg.nodal_mg_rtol,
+        # warm start: p is last step's phi (pressure varies slowly)
+        phi0 = None if incremental else p
+        phi, res, it = solver.solve(rhs, x0=phi0, rtol=cfg.nodal_mg_rtol,
                                     atol=cfg.nodal_mg_atol,
                                     maxiter=cfg.nodal_mg_maxiter)
         gphi = solver.grad_at_cells(phi)
