@@ -67,7 +67,8 @@ scalar_diffusion.mg_atol = {atol}
         import numpy as _np
         return float(_np.asarray(state.dt))
 
-    s = sim.advance(s)
+    for _ in range(3):   # compile + reach steady MG warm-start behavior
+        s = sim.advance(s)
     sync(s)
 
     t0 = time.perf_counter()

@@ -267,11 +267,17 @@ def _transpose_term(vel_g: jnp.ndarray, eta_g1: jnp.ndarray, grid: Grid,
 
 def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
                      dt_diff, cfg: IncfloConfig, grid: Grid,
-                     rtol=None, atol=None, eb=None, eta_g1=None):
-    """(rho - dt div(eta grad)) u = rho u*  component-at-a-time
-    (reference DiffusionScalarOp::diffuse_vel_components /
-    DiffusionTensorOp::diffuse_velocity; the transpose coupling of the
-    full tensor solve is handled explicitly by the caller in tensor mode).
+                     rtol=None, atol=None, eb=None, eta_g1=None,
+                     grow_fn=None, ng=None):
+    """(rho - dt div(eta (grad + grad^T))) u = rho u*  (reference
+    DiffusionTensorOp::diffuse_velocity / diffuse_vel_components).
+
+    The coupled tensor system is solved as component Helmholtz solves
+    with the transpose coupling handled by outer fixed-point
+    corrections: u_{k+1} solves (a - dt div(eta grad)) u = rhs +
+    dt div(eta grad u_k^T).  Two corrections reach truncation-error
+    agreement with the monolithic solve (the coupling is subdominant to
+    the diagonal).  use_tensor_solve=false skips the corrections.
 
     EB: conservative cut-cell form (rho*vfrac - dt[div(ap eta grad) -
     wall drag]) u = rho*vfrac u* with first-order no-slip EB walls."""
@@ -311,6 +317,14 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
         out, res, it = solver.solve_inhom(rhs, bvals, x0=vel, rtol=rtol,
                                           atol=atol,
                                           maxiter=cfg.diff_mg_maxiter)
+        if cfg.use_tensor_solve and grow_fn is not None and eta_g1 is not None:
+            for _ in range(2):   # outer transpose-coupling corrections
+                tt = _transpose_term(grow_fn(out), eta_g1, grid, ng)
+                if eb is not None:
+                    tt = tt * eb.fluid[..., None]
+                out, res, it = solver.solve_inhom(
+                    rhs + dt_diff * tt, bvals, x0=out, rtol=rtol, atol=atol,
+                    maxiter=cfg.diff_mg_maxiter)
     else:
         comps = []
         for c in range(grid.ndim):

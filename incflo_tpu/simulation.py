@@ -434,9 +434,10 @@ class Simulation:
         if cfg.diff_type in (DiffusionType.Crank_Nicolson,
                              DiffusionType.Implicit):
             dt_diff = dt if cfg.diff_type == DiffusionType.Implicit else 0.5 * dt
-            vel_new = diffusion.diffuse_velocity(vel_new, rho_new, eta_faces,
-                                                 dt_diff, cfg, grid,
-                                                 eb=self.eb, eta_g1=eta_g1)
+            vel_new = diffusion.diffuse_velocity(
+                vel_new, rho_new, eta_faces, dt_diff, cfg, grid,
+                eb=self.eb, eta_g1=eta_g1,
+                grow_fn=lambda v: self.grow_vel(v, ng), ng=ng)
 
         vel_new, p_new, gp_new, nodal_res, nodal_it = self.apply_projection(
             vel_new, vel_o, rho_nph, old.gp, old.p, dt, incremental,
@@ -518,9 +519,10 @@ class Simulation:
         if cfg.diff_type in (DiffusionType.Crank_Nicolson,
                              DiffusionType.Implicit):
             dt_diff = dt if cfg.diff_type == DiffusionType.Implicit else 0.5 * dt
-            vel_new = diffusion.diffuse_velocity(vel_new, rho_new, eta_faces,
-                                                 dt_diff, cfg, grid,
-                                                 eb=self.eb, eta_g1=eta_g1)
+            vel_new = diffusion.diffuse_velocity(
+                vel_new, rho_new, eta_faces, dt_diff, cfg, grid,
+                eb=self.eb, eta_g1=eta_g1,
+                grow_fn=lambda v: self.grow_vel(v, ng), ng=ng)
 
         vel_new, p_new, gp_new, nodal_res, nodal_it = self.apply_projection(
             vel_new, vel_o, rho_nph, star.gp, old.p, dt, False, small_dt_flag)
