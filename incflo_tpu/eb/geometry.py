@@ -262,7 +262,12 @@ def _simplex_fraction(corner_phi: np.ndarray, nd: int) -> np.ndarray:
 
 def _box_fraction_refined(node_phi: np.ndarray, s: int, nd: int) -> np.ndarray:
     """Fluid fraction of each box of the coarse lattice, where node_phi
-    holds phi on the s-refined NODE lattice of shape (s*n1+1, ...)."""
+    holds phi on the s-refined NODE lattice of shape (s*n1+1, ...).
+    Uses the native C++/OpenMP integrator when available (the vectorized
+    numpy fallback allocates (cells x 2^d x s^d) temporaries)."""
+    out = _box_fraction_native(node_phi, s, nd)
+    if out is not None:
+        return out
     # gather sub-box corners: result (..., n1, s, n2, s, ...) -> too much
     # memory if done naively; loop over sub-box offsets instead.
     shape = tuple((node_phi.shape[d] - 1) // s for d in range(nd))
@@ -279,6 +284,29 @@ def _box_fraction_refined(node_phi: np.ndarray, s: int, nd: int) -> np.ndarray:
             sub[(...,) + cs] = node_phi[idx]
         total += _simplex_fraction(sub, nd)
     return total / (s ** nd)
+
+
+def _box_fraction_native(node_phi: np.ndarray, s: int, nd: int):
+    from incflo_tpu import native
+    import ctypes
+    lib = native.load("eb_geometry")
+    if lib is None or nd not in (2, 3):
+        return None
+    phi = np.ascontiguousarray(node_phi, dtype=np.float64)
+    n = tuple((phi.shape[d] - 1) // s for d in range(nd))
+    out = np.empty(n, dtype=np.float64)
+    pd = ctypes.POINTER(ctypes.c_double)
+    if nd == 3:
+        lib.incflo_box_fractions_3d(
+            phi.ctypes.data_as(pd),
+            ctypes.c_int64(n[0]), ctypes.c_int64(n[1]), ctypes.c_int64(n[2]),
+            ctypes.c_int(s), out.ctypes.data_as(pd))
+    else:
+        lib.incflo_box_fractions_2d(
+            phi.ctypes.data_as(pd),
+            ctypes.c_int64(n[0]), ctypes.c_int64(n[1]),
+            ctypes.c_int(s), out.ctypes.data_as(pd))
+    return out
 
 
 def compute_eb_data(phi_if: IF, grid: Grid, refine: int = 4) -> EBData:

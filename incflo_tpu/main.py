@@ -33,6 +33,21 @@ def write_now(step: int, t: float, dt: float, last_plt: int, cfg) -> bool:
 
 
 def run(argv):
+    if argv and argv[0] == "--describe":
+        # build-info dump (reference main.cpp --describe / writeBuildInfo)
+        import incflo_tpu
+        print(f"incflo_tpu {incflo_tpu.__version__}")
+        print(f"jax {jax.__version__}")
+        print(f"devices: {jax.devices()}")
+        import subprocess
+        try:
+            git = subprocess.run(["git", "rev-parse", "HEAD"],
+                                 capture_output=True, text=True,
+                                 cwd=__file__.rsplit("/", 2)[0])
+            print(f"git hash: {git.stdout.strip()}")
+        except Exception:
+            pass
+        return 0
     if not argv:
         print("usage: python -m incflo_tpu.main <inputs-file> [key=value ...]")
         return 2
@@ -63,6 +78,23 @@ def run(argv):
 
         def write_plot(path, s):
             io.write_plotfile(path, s, cfg, sim)
+
+    # optional device profiling (jax profiler traces; reference analog:
+    # AMReX TinyProfiler via TINY_PROFILE)
+    import os
+    prof_dir = os.environ.get("INCFLO_PROFILE_DIR")
+    if prof_dir:
+        jax.profiler.start_trace(prof_dir)
+
+    # EB surface dump (reference WriteMyEBSurface)
+    if sim.eb is not None and int(cfg.pp.scoped("incflo").query(
+            "write_eb_surface", 0)):
+        from incflo_tpu.eb import geometry as ebgeom
+        from incflo_tpu.eb import surface
+        phi_if = ebgeom.make_eb_geometry(cfg.eb_geometry, cfg.pp, io_cfg.grid)
+        data = ebgeom.compute_eb_data(phi_if, io_cfg.grid)
+        surface.write_eb_surface("eb_surface.stl", data, io_cfg.grid)
+        print("Wrote eb_surface.stl")
 
     t0 = wallclock.time()
     if cfg.restart_file:
@@ -125,6 +157,10 @@ def run(argv):
         if cfg.check_int > 0 and step % cfg.check_int == 0:
             io.write_checkpoint(f"{cfg.check_file}{step:05d}", s, io_cfg)
             last_chk = step
+
+    if prof_dir:
+        jax.profiler.stop_trace()
+        print(f"Wrote profiler trace to {prof_dir}")
 
     evolve_time = wallclock.time() - t0
     print(f"Time spent in Evolve():    {evolve_time}")

@@ -183,9 +183,33 @@ def init_fluid(cfg: IncfloConfig, grid: Grid, dtype) -> LevelState:
         vel_comps, tracer = _init_plane_poiseuille(cfg, grid, cs, nd, dtype,
                                                    vel_comps, tracer)
     elif pt == 6:
-        # channel_slant is an EB problem (cylinder rotation); with rotation=0
-        # it leaves the constant IC untouched.
-        pass
+        # channel_slant (EB rotated cylinder; reference
+        # prob_init_fluid.cpp:230-265): with cylinder.rotation > 0 the
+        # velocity is aligned with the rotated axis and tracer bands are
+        # laid along x.
+        rotation = 0.0
+        if cfg.pp is not None:
+            rotation = float(cfg.pp.scoped("cylinder").query("rotation", 0))
+        rotation = rotation / 180.0 * math.pi
+        if rotation > 0:
+            u = cfg.ic_u
+            vel_comps[0] = jnp.full(cs, u * math.cos(rotation), dtype)
+            vel_comps[1] = jnp.full(cs, u * math.sin(rotation), dtype)
+            if nd == 3:
+                vel_comps[2] = jnp.zeros(cs, dtype)
+            idx = _index_coord(grid, 0, nd)
+            dhi = grid.n_cell[0] - 1
+            vals = jnp.zeros(cs + (cfg.ntrac,), dtype)
+            if cfg.ntrac > 0:
+                vals = vals.at[..., 0].set(jnp.broadcast_to(
+                    jnp.where(idx <= dhi // 8, 1.0, 0.0).astype(dtype), cs))
+            if cfg.ntrac > 1:
+                vals = vals.at[..., 1].set(jnp.broadcast_to(
+                    jnp.where(idx <= dhi // 2, 2.0, 0.0).astype(dtype), cs))
+            if cfg.ntrac > 2:
+                vals = vals.at[..., 2].set(jnp.broadcast_to(
+                    jnp.where(idx <= dhi * 3 // 4, 3.0, 0.0).astype(dtype), cs))
+            tracer = vals
     else:
         raise ValueError(f"prob_init_fluid: unknown probtype {pt}")
 
