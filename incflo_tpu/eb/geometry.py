@@ -192,6 +192,8 @@ def make_eb_geometry(geom_type: str, pp: ParmParse, grid: Grid) -> IF:
                            direction, ic, False)
         return UnionIF([outer, inner])
     if geom_type == "twocylinders":
+        # fluid outside BOTH cylinders (EB2::makeUnion of the two bodies,
+        # eb_twocylinders.cpp:60-62)
         t = pp.scoped("twocylinders")
         c1 = tuple(float(v) for v in t.getarr("center1", 3))[:nd]
         c2 = tuple(float(v) for v in t.getarr("center2", 3))[:nd]
@@ -199,11 +201,48 @@ def make_eb_geometry(geom_type: str, pp: ParmParse, grid: Grid) -> IF:
                           int(t.query("direction1", 0)), c1, False)
         cyl2 = CylinderIF(float(t.query("radius2", 0.0002)),
                           int(t.query("direction2", 0)), c2, False)
-        return IntersectionIF([cyl1, cyl2])
+        return UnionIF([cyl1, cyl2])
     if geom_type == "spherecube":
+        # fluid outside sphere AND cube (eb_spherecube.cpp:21-23)
         sphere = SphereIF(0.5, (1.8, 1.8, 2.8)[:nd], False)
         cube = BoxIF((1.85, 1.85, 2.85)[:nd], (2.5, 2.5, 3.5)[:nd], False)
-        return IntersectionIF([sphere, cube])
+        return UnionIF([sphere, cube])
+    if geom_type == "tuscan":
+        # two solid boxes + center connector carved out of the fluid
+        # (eb_tuscan.cpp:20-110); fluid = complement of the box union
+        xlo, xhi = 0.125, 0.875
+        ylo, yhi = xlo, xhi
+        zlen = 0.2
+        zlo, zhi = zlen, 1.0 - zlen
+
+        def plane(point, normal):
+            return PlaneIF(tuple(point[:nd]), tuple(normal[:nd]))
+
+        sides = [plane((0, ylo, 0), (0, 1, 0)), plane((xhi, 0, 0), (-1, 0, 0)),
+                 plane((0, yhi, 0), (0, -1, 0)), plane((xlo, 0, 0), (1, 0, 0))]
+        box1 = IntersectionIF(sides + [plane((0, 0, zlo), (0, 0, -1))])
+        box2 = IntersectionIF(sides + [plane((0, 0, zhi), (0, 0, 1))])
+        mf = 0.25
+        xl2, xh2 = xlo + mf * (xhi - xlo), xhi - mf * (xhi - xlo)
+        yl2, yh2 = ylo + mf * (yhi - ylo), yhi - mf * (yhi - ylo)
+        box3 = IntersectionIF([
+            plane((0, yl2, 0), (0, 1, 0)), plane((xh2, 0, 0), (-1, 0, 0)),
+            plane((0, yh2, 0), (0, -1, 0)), plane((xl2, 0, 0), (1, 0, 0))])
+        return UnionIF([box1, box2, box3])
+    if geom_type == "jcap":
+        # fluid = union of two finite capped cylinders
+        # (eb_cyl_tuscan.cpp:25-67, EB2::makeIntersection of fluid-inside
+        # cylinders = min = union of the fluid regions)
+        j = pp.scoped("jcap")
+        c1 = tuple(float(v) for v in j.getarr("center1", 3))[:nd]
+        c2 = tuple(float(v) for v in j.getarr("center2", 3))[:nd]
+        cyl1 = CylinderIF(float(j.query("radius1", 0.25)),
+                          int(j.query("direction1", 0)), c1, True,
+                          height=float(j.query("height1", 0.3)))
+        cyl2 = CylinderIF(float(j.query("radius2", 0.25)),
+                          int(j.query("direction2", 0)), c2, True,
+                          height=float(j.query("height2", 0.3)))
+        return IntersectionIF([cyl1, cyl2])
     raise ValueError(f"Unknown EB geometry '{geom_type}'")
 
 

@@ -449,21 +449,22 @@ class NodalLevel:
     bc_lo: Tuple[int, ...]
     bc_hi: Tuple[int, ...]
     sigma: jnp.ndarray                      # (cells)
-    stencil: Optional[dict] = None          # Delta -> coefficient array (nodes)
+    sigma_pad: Optional[jnp.ndarray] = None  # padded by 1 per axis
 
     def with_stencil(self):
-        return dataclasses.replace(self, stencil=_nodal_stencil(self))
+        s = self.sigma
+        for ax in range(len(self.dx)):
+            s = _wrap_pad(s, ax) if self.periodic[ax] else _zero_pad(s, ax)
+        return dataclasses.replace(self, sigma_pad=s)
 
 
-def _nodal_stencil(lev: "NodalLevel") -> dict:
-    """Assemble the Q1 finite-element stencil of -div(sigma grad) at nodes
-    (what AMReX MLNodeLaplacian builds).  For tensor-product Q1 elements
-    the per-element stiffness factorises as
-        K_e = sum_d K1d_d (x) prod_{d'!=d} M1d_{d'}
-    with K1d = (1/h)[[1,-1],[-1,1]] and M1d = (h/6)[[2,1],[1,2]].  Summed
-    over the elements containing a node pair (n, n+Delta), every stencil
-    coefficient becomes a CONSTANT weight w_Delta times a box-sum of
-    sigma over the eligible adjacent cells:
+def _nodal_weight(lev: "NodalLevel", delta) -> float:
+    """Q1 finite-element stencil weight (what AMReX MLNodeLaplacian
+    assembles).  For tensor-product Q1 elements the per-element stiffness
+    factorises as  K_e = sum_d K1d_d (x) prod_{d'!=d} M1d_{d'}  with
+    K1d = (1/h)[[1,-1],[-1,1]], M1d = (h/6)[[2,1],[1,2]].  Summed over
+    the elements containing a node pair (n, n+Delta), each stencil
+    coefficient is a CONSTANT weight times a box-sum of sigma:
 
         c_Delta(n) = w_Delta * S_Delta(n),
         w_Delta = -(1/V) * sum_d K_d(Delta_d) prod_{d'!=d} M_{d'}(Delta_{d'}),
@@ -471,42 +472,48 @@ def _nodal_stencil(lev: "NodalLevel") -> dict:
 
     scaled by -1/cell-volume so L ~ div(sigma grad) (negative
     semi-definite) and consistent with the cell-average nodal divergence
-    used as RHS.  Crucially this operator has NO checkerboard null mode,
-    unlike the naive D(sigma G) composition."""
+    used as RHS.  This operator has NO checkerboard null mode, unlike the
+    naive D(sigma G) composition."""
     ndim = len(lev.dx)
     vol = 1.0
     for d in lev.dx:
         vol *= d
-    # sigma padded by one cell per axis (wrap periodic, zero outside walls)
-    s = lev.sigma
-    for ax in range(ndim):
-        s = _wrap_pad(s, ax) if lev.periodic[ax] else _zero_pad(s, ax)
+    w = 0.0
+    for d in range(ndim):
+        term = (1.0 / lev.dx[d]) if delta[d] == 0 else (-1.0 / lev.dx[d])
+        for dp in range(ndim):
+            if dp == d:
+                continue
+            term *= (lev.dx[dp] / 3.0) if delta[dp] == 0 else (lev.dx[dp] / 6.0)
+        w += term
+    return -w / vol
 
+
+def _nodal_boxsums(lev: "NodalLevel") -> dict:
+    """S_Delta box-sums of sigma, computed ON THE FLY from the padded
+    sigma with memoized per-axis partial reductions (27 arrays at 512^3
+    would be ~14 GB if materialised; XLA fuses these windows into the
+    consuming apply, so only sigma itself lives in HBM)."""
     import itertools
-    stencil = {}
-    for delta in itertools.product((-1, 0, 1), repeat=ndim):
-        # box-sum S_Delta: per axis take cells {n-1,n} (delta=0),
-        # {n} (delta=+1), {n-1} (delta=-1); padded index n-1 -> i, n -> i+1.
-        S = s
-        for ax, dlt in enumerate(delta):
-            n_nodes = lev.sigma.shape[ax] + 1
-            lo = _slice_axis(S, ax, slice(0, n_nodes))
-            hi = _slice_axis(S, ax, slice(1, n_nodes + 1))
-            S = {0: lo + hi, 1: hi, -1: lo}[dlt]
-        # drop duplicated high node on periodic axes
+    ndim = len(lev.dx)
+    parts = {(): lev.sigma_pad}
+    for ax in range(ndim):
+        new = {}
+        n_nodes = lev.sigma.shape[ax] + 1
+        for key, arr in parts.items():
+            lo = _slice_axis(arr, ax, slice(0, n_nodes))
+            hi = _slice_axis(arr, ax, slice(1, n_nodes + 1))
+            for dlt, val in ((0, lo + hi), (1, hi), (-1, lo)):
+                new[key + (dlt,)] = val
+        parts = new
+    # drop duplicated high node on periodic axes
+    out = {}
+    for delta, S in parts.items():
         for ax in range(ndim):
             if lev.periodic[ax]:
                 S = _slice_axis(S, ax, slice(0, S.shape[ax] - 1))
-        w = 0.0
-        for d in range(ndim):
-            term = (1.0 / lev.dx[d]) if delta[d] == 0 else (-1.0 / lev.dx[d])
-            for dp in range(ndim):
-                if dp == d:
-                    continue
-                term *= (lev.dx[dp] / 3.0) if delta[dp] == 0 else (lev.dx[dp] / 6.0)
-            w += term
-        stencil[delta] = (-w / vol) * S
-    return stencil
+        out[delta] = S
+    return out
 
 
 def _node_to_cellgrad(phi, lev: NodalLevel, axis):
@@ -558,20 +565,23 @@ def _nodes_unique(x_allnodes, lev: NodalLevel):
 
 
 def nodal_apply(phi, lev: NodalLevel):
-    """L(phi) via the assembled FEM stencil (+ identity on Dirichlet rows)."""
+    """L(phi) via the FEM stencil (+ identity on Dirichlet rows);
+    coefficients computed on the fly from sigma (memory-optimal)."""
     ndim = len(lev.dx)
-    stencil = lev.stencil
-    assert stencil is not None, "use NodalLevel.with_stencil()"
+    assert lev.sigma_pad is not None, "use NodalLevel.with_stencil()"
+    boxsums = _nodal_boxsums(lev)
     p = phi
     for ax in range(ndim):
         p = _wrap_pad(p, ax) if lev.periodic[ax] else _zero_pad(p, ax)
     out = None
     n_nodes = phi.shape
-    for delta, c in stencil.items():
+    for delta, S in boxsums.items():
+        w = _nodal_weight(lev, delta)
         v = p
         for ax, dlt in enumerate(delta):
             v = _slice_axis(v, ax, slice(1 + dlt, 1 + dlt + n_nodes[ax]))
-        out = c * v if out is None else out + c * v
+        term = (w * S) * v
+        out = term if out is None else out + term
     out = _apply_dirichlet_mask(out, lev, identity_from=phi)
     return out
 
@@ -607,7 +617,8 @@ def _set_slab(x, axis, idx, val):
 def nodal_diag(lev: NodalLevel):
     """diag(L): the Delta=0 stencil coefficient; 1 on Dirichlet rows."""
     ndim = len(lev.dx)
-    d = lev.stencil[(0,) * ndim]
+    zero = (0,) * ndim
+    d = _nodal_weight(lev, zero) * _nodal_boxsums(lev)[zero]
     # Dirichlet rows: identity
     for ax in range(ndim):
         if lev.periodic[ax]:

@@ -141,18 +141,27 @@ def init_fluid(cfg: IncfloConfig, grid: Grid, dtype) -> LevelState:
                 r = jnp.sqrt((x - 0.25) ** 2 + (y - 0.25) ** 2 + (z - 0.5) ** 2)
         tracer = tracer.at[..., 0].set(
             jnp.broadcast_to(jnp.where(r < 0.1, 0.0, 0.01).astype(dtype), cs))
-    elif pt == 12:  # periodic tracer (3D)
-        x, y, z = _coords_no_offset(grid, dtype)
+    elif pt == 12:  # periodic tracer
+        coords = _coords_no_offset(grid, dtype)
         L = grid.prob_hi[0] - grid.prob_lo[0]
         C = TWOPI / L
         A = 1.0
         vel_comps[0] = jnp.ones(cs, dtype)
-        vel_comps[1] = jnp.broadcast_to(
-            0.1 * (jnp.sin(C * (x + z) - 0.00042) + 1.0) * jnp.exp(y), cs)
-        vel_comps[2] = jnp.broadcast_to(
-            0.1 * (jnp.sin(C * (x + y) - 0.00042) + 1.0) * jnp.exp(z), cs)
-        tracer = tracer.at[..., 0].set(jnp.broadcast_to(
-            A * (jnp.sin(C * (y + z) - 0.00042) + 1.0) * jnp.exp(x), cs))
+        if nd == 3:
+            x, y, z = coords
+            vel_comps[1] = jnp.broadcast_to(
+                0.1 * (jnp.sin(C * (x + z) - 0.00042) + 1.0) * jnp.exp(y), cs)
+            vel_comps[2] = jnp.broadcast_to(
+                0.1 * (jnp.sin(C * (x + y) - 0.00042) + 1.0) * jnp.exp(z), cs)
+            tracer = tracer.at[..., 0].set(jnp.broadcast_to(
+                A * (jnp.sin(C * (y + z) - 0.00042) + 1.0) * jnp.exp(x), cs))
+        else:
+            # 2D reduction (the reference only defines probtype 12 in 3D)
+            x, y = coords
+            vel_comps[1] = jnp.broadcast_to(
+                0.1 * (jnp.sin(C * x - 0.00042) + 1.0) * jnp.exp(y), cs)
+            tracer = tracer.at[..., 0].set(jnp.broadcast_to(
+                A * (jnp.sin(C * y - 0.00042) + 1.0) * jnp.exp(x), cs))
     elif pt in (21, 22, 23):  # double shear layer
         coords = _coords_no_offset(grid, dtype)
         if pt == 21:

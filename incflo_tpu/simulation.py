@@ -126,7 +126,19 @@ class Simulation:
         if initialization:
             dt_new = dt_new * cfg.init_shrink
         eps = jnp.finfo(self.dtype).eps
-        dt_new = jnp.where(comb_cfl <= eps, 0.5 * s.dt, dt_new)
+        # From-rest bootstrap: with zero velocity AND zero forcing the
+        # reference's formula degenerates (it falls back to 0.5*m_dt with
+        # m_dt = -1 initially, incflo_compute_dt.cpp:205-209).  We choose
+        # the viscous time scale (always including the diffusive CFL), or
+        # a stop_time fraction for inviscid quiescent starts.
+        diff_any = (jnp.max(1.0 / rho) * cfg.mu * 2.0
+                    * jnp.sum(dxinv * dxinv))
+        fallback = jnp.where(
+            diff_any > eps, cfg.cfl / jnp.maximum(diff_any, 1e-300),
+            (cfg.stop_time / 100.0 if cfg.stop_time > 0 else 1.0))
+        dt_new = jnp.where(comb_cfl <= eps,
+                           jnp.where(s.dt > 0, 0.5 * s.dt, fallback),
+                           dt_new)
 
         # 10% growth limiter (relaxed if last step was shrunk to hit a
         # plot_per_exact time, tracked via s.step==last_plt upstream)
