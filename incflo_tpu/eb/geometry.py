@@ -390,7 +390,10 @@ def compute_eb_data(phi_if: IF, grid: Grid, refine: int = 4) -> EBData:
                                [ax for ax in range(3) if ax != d])
         afrac.append(np.clip(a, 0.0, 1.0))
 
-    tol = 1e-12
+    # snap tiny volume fractions to covered (AMReX EB2 small_volfrac
+    # analog); cells below this cannot be represented stably by the
+    # cut-cell solvers and are handled by redistribution anyway
+    tol = 1e-6
     flags = np.full(n, CUT, np.int8)
     flags[vfrac >= 1.0 - 1e-8] = REGULAR
     flags[vfrac <= tol] = COVERED

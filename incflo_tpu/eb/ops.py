@@ -161,8 +161,11 @@ def build_eb_arrays(eb: EBData, grid: Grid, dtype) -> EBArrays:
         cut=mk(cut), covered=mk(cov), fluid=mk(~cov), small=mk(small),
         eb_area=mk(eb.eb_area),
         nbr_conn=mk(conn),
-        vtot=mk(vtot + 1e-80),
-        wtot_inv=mk(1.0 / (wtot + 1e-80)),
+        # masked reciprocals, NOT eps-regularized: 1/(0+1e-80)=1e80
+        # overflows to inf in float32 and inf*0 = NaN poisons the
+        # redistribution scatter in covered cells
+        vtot=mk(np.where(vtot > 0.0, vtot, 1.0)),
+        wtot_inv=mk(np.where(wtot > 0.0, 1.0 / np.where(wtot > 0.0, wtot, 1.0), 0.0)),
         offsets=tuple(offsets),
     )
 

@@ -10,6 +10,7 @@ plot/checkpoint cadence, and prints the same style of step/timing lines.
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time as wallclock
 
@@ -33,6 +34,12 @@ def write_now(step: int, t: float, dt: float, last_plt: int, cfg) -> bool:
 
 
 def run(argv):
+    # INCFLO_PLATFORM=cpu|tpu forces the jax backend.  Needed because
+    # experimental platform plugins (axon) override the JAX_PLATFORMS
+    # env var; only jax.config wins.
+    plat = os.environ.get("INCFLO_PLATFORM")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     if argv and argv[0] == "--describe":
         # build-info dump (reference main.cpp --describe / writeBuildInfo)
         import incflo_tpu
@@ -53,7 +60,11 @@ def run(argv):
         return 2
 
     from incflo_tpu.config import IncfloConfig
-    cfg = IncfloConfig.from_file(argv[0], argv[1:])
+    try:
+        cfg = IncfloConfig.from_file(argv[0], argv[1:])
+    except FileNotFoundError:
+        print(f"error: inputs file not found: {argv[0]}", file=sys.stderr)
+        return 2
 
     if cfg.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
@@ -81,7 +92,6 @@ def run(argv):
 
     # optional device profiling (jax profiler traces; reference analog:
     # AMReX TinyProfiler via TINY_PROFILE)
-    import os
     prof_dir = os.environ.get("INCFLO_PROFILE_DIR")
     if prof_dir:
         jax.profiler.start_trace(prof_dir)

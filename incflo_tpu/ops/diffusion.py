@@ -211,12 +211,13 @@ def compute_divtau(vel: jnp.ndarray, vel_g: jnp.ndarray, rho: jnp.ndarray,
 
 
 def _transpose_term(vel_g: jnp.ndarray, eta_g1: jnp.ndarray, grid: Grid,
-                    ng: int) -> jnp.ndarray:
+                    ng: int, cross_only: bool = False) -> jnp.ndarray:
     """sum_d d/dx_d [ eta * d u_d / dx_c ]  for each component c.
 
     Fluxes on d-faces: eta_face * (du_d/dx_c)|face, where for c == d the
     derivative is the compact face difference and for c != d it is the
-    average of cell-centered central derivatives of u_d wrt x_c."""
+    average of cell-centered central derivatives of u_d wrt x_c.
+    cross_only skips the c == d (diagonal-doubling) part."""
     ndim = grid.ndim
     out = [0.0] * ndim
 
@@ -235,6 +236,8 @@ def _transpose_term(vel_g: jnp.ndarray, eta_g1: jnp.ndarray, grid: Grid,
         eta_f = 0.5 * (window(e, d, 0, 1) + window(e, d, 1, 0))
         for c in range(ndim):   # component receiving the flux divergence
             if c == d:
+                if cross_only:
+                    continue
                 # d u_d/dx_d at d-faces: compact difference of u_d
                 u = vel_g[..., d]
                 for ax in range(ndim):
@@ -294,12 +297,23 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
         acoef = rho
     bcs_all = [velocity_solver_bc(cfg, c) for c in range(grid.ndim)]
 
+    tensor = (cfg.use_tensor_solve and grow_fn is not None
+              and eta_g1 is not None)
     if all(b == bcs_all[0] for b in bcs_all):
         # identical operator for every component: ONE batched solve with
         # the components as an uncolored trailing axis (3x fewer V-cycle
-        # loops -- a large win on TPU)
+        # loops -- a large win on TPU).  In tensor mode the transpose
+        # term's DIAGONAL part (the 2*eta doubling of each component's
+        # own-axis flux) is folded into an anisotropic coefficient so the
+        # remaining defect is only the bounded cross-coupling.
         bc_lo, bc_hi = bcs_all[0]
-        eta_b = [b[..., None] for b in _eb_faces(eta_faces, eb)]
+        base = _eb_faces(eta_faces, eb)
+        eta_b = []
+        for d in range(grid.ndim):
+            scale = jnp.ones((grid.ndim,), dtype)
+            if tensor:
+                scale = scale.at[d].set(2.0)
+            eta_b.append(base[d][..., None] * scale)
         solver = mg.CellSolver(grid.dx, bc_lo, bc_hi, alpha=1.0,
                                beta=dt_diff, acoef=acoef[..., None],
                                bcoef=tuple(eta_b),
@@ -317,14 +331,28 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
         out, res, it = solver.solve_inhom(rhs, bvals, x0=vel, rtol=rtol,
                                           atol=atol,
                                           maxiter=cfg.diff_mg_maxiter)
-        if cfg.use_tensor_solve and grow_fn is not None and eta_g1 is not None:
-            for _ in range(2):   # outer transpose-coupling corrections
-                tt = _transpose_term(grow_fn(out), eta_g1, grid, ng)
+        if tensor:
+            # damped defect correction for the remaining CROSS coupling
+            # d_d(eta d_c u_d), c != d.  Its quadratic form is bounded by
+            # the anisotropic operator's off-axis part, so preconditioned
+            # Richardson with omega=2/3 is non-amplifying even for stiff
+            # variable-viscosity (Bingham) cases; a naive fixed point
+            # diverges there.
+            omega = 2.0 / 3.0
+            lev0 = solver.levels[0]
+            for _ in range(3):
+                tt = _transpose_term(grow_fn(out), eta_g1, grid, ng,
+                                     cross_only=True)
                 if eb is not None:
-                    tt = tt * eb.fluid[..., None]
-                out, res, it = solver.solve_inhom(
-                    rhs + dt_diff * tt, bvals, x0=out, rtol=rtol, atol=atol,
-                    maxiter=cfg.diff_mg_maxiter)
+                    # conservative cut-cell row scaling: the EB equation
+                    # rows are vfrac-weighted, so the full-face transpose
+                    # divergence must be too (otherwise sliver cells
+                    # amplify the defect by 1/vfrac)
+                    tt = tt * eb.vfrac[..., None]
+                r = rhs + dt_diff * tt - mg.cell_apply_inhom(out, lev0, bvals)
+                e, _, _ = solver.solve(r, rtol=rtol, atol=atol,
+                                       maxiter=cfg.diff_mg_maxiter)
+                out = out + omega * e
     else:
         comps = []
         for c in range(grid.ndim):

@@ -78,8 +78,12 @@ def project_mac_velocities(umac: List[jnp.ndarray], beta: List[jnp.ndarray],
     correct u -= beta grad phi on open faces (MLEBABecLap MacProjector
     analog); faces with zero area fraction carry zero velocity."""
     bc_lo, bc_hi = projection_solver_bc(bc_kind, grid)
+    # faces with tiny area fraction carry negligible flux but their
+    # VALUES feed the small-cell velocity fix -- keep them at the
+    # physical no-slip limit instead of flux/ap-amplified noise
+    ap_small = 1e-4
     if eb is not None:
-        umac = [jnp.where(eb.afrac[d] > 1e-12, umac[d], 0.0)
+        umac = [jnp.where(eb.afrac[d] > ap_small, umac[d], 0.0)
                 for d in range(grid.ndim)]
         beta_eff = [beta[d] * eb.afrac[d] for d in range(grid.ndim)]
     else:
@@ -99,7 +103,7 @@ def project_mac_velocities(umac: List[jnp.ndarray], beta: List[jnp.ndarray],
         new_umac = []
         for d in range(grid.ndim):
             ap = eb.afrac[d]
-            corr = jnp.where(ap > 1e-12, fluxes[d] / jnp.maximum(ap, 1e-12),
+            corr = jnp.where(ap > ap_small, fluxes[d] / jnp.maximum(ap, ap_small),
                              0.0)
             new_umac.append(umac[d] - corr)
     else:
