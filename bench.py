@@ -162,6 +162,8 @@ def main():
     dt_wall = (time.perf_counter() - t0) / steps
 
     cups = ncells / dt_wall
+    import numpy as _np
+    finite = bool(_np.all(_np.isfinite(_np.asarray(s.level.velocity))))
     print(json.dumps({
         "metric": "cell_updates_per_sec_per_chip",
         "value": cups,
@@ -169,8 +171,11 @@ def main():
         "vs_baseline": cups / BASELINE_CPU_CUPS,
         "config": f"{config} n={n} ({ncells} cells) {dtype}",
         "sec_per_step": dt_wall,
+        "finite": finite,
         "device": str(jax.devices()[0]),
     }))
+    if not finite:
+        raise SystemExit("benchmark produced non-finite velocity field")
 
 
 if __name__ == "__main__":

@@ -340,6 +340,11 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
             # diverges there.
             omega = 2.0 / 3.0
             lev0 = solver.levels[0]
+            # correction solves only need accuracy relative to the MAIN
+            # solve's absolute target: solve() tolerances are relative
+            # to ITS rhs (the small defect), so reusing rtol here would
+            # work ~100x harder per correction than the main solve did.
+            corr_atol = jnp.maximum(rtol * mg._maxnorm(rhs), atol)
             for _ in range(3):
                 tt = _transpose_term(grow_fn(out), eta_g1, grid, ng,
                                      cross_only=True)
@@ -350,7 +355,7 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
                     # amplify the defect by 1/vfrac)
                     tt = tt * eb.vfrac[..., None]
                 r = rhs + dt_diff * tt - mg.cell_apply_inhom(out, lev0, bvals)
-                e, _, _ = solver.solve(r, rtol=rtol, atol=atol,
+                e, _, _ = solver.solve(r, rtol=1e-2, atol=corr_atol,
                                        maxiter=cfg.diff_mg_maxiter)
                 out = out + omega * e
     else:
