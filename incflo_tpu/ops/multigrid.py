@@ -475,14 +475,27 @@ class NodalLevel:
     periodic: Tuple[bool, ...]
     bc_lo: Tuple[int, ...]
     bc_hi: Tuple[int, ...]
-    sigma: jnp.ndarray                      # (cells)
+    sigma: Optional[jnp.ndarray]            # (cells); dropped by with_stencil
     sigma_pad: Optional[jnp.ndarray] = None  # padded by 1 per axis
+    cells: Optional[Tuple[int, ...]] = None
 
     def with_stencil(self):
         s = self.sigma
         for ax in range(len(self.dx)):
             s = _wrap_pad(s, ax) if self.periodic[ax] else _zero_pad(s, ax)
-        return dataclasses.replace(self, sigma_pad=s)
+        # keep ONLY the padded sigma (holding both costs ~1 GB/level at
+        # 512^3); downstream code needs just the cell shape
+        return dataclasses.replace(self, sigma=None, sigma_pad=s,
+                                   cells=tuple(self.sigma.shape))
+
+    def barriered(self, phi):
+        """Tie sigma_pad to loop-carried state so XLA cannot hoist the
+        27 stencil box-sums out of smoother scan / V-cycle while_loop
+        bodies: hoisting materialises 27 node-sized arrays (14.5 GB at
+        512^3 -- the single-chip RESOURCE_EXHAUSTED cause); behind the
+        barrier they fuse into the consuming apply."""
+        phi, sp = jax.lax.optimization_barrier((phi, self.sigma_pad))
+        return phi, dataclasses.replace(self, sigma_pad=sp)
 
 
 def _nodal_weight(lev: "NodalLevel", delta) -> float:
@@ -526,7 +539,7 @@ def _nodal_boxsums(lev: "NodalLevel") -> dict:
     parts = {(): lev.sigma_pad}
     for ax in range(ndim):
         new = {}
-        n_nodes = lev.sigma.shape[ax] + 1
+        n_nodes = lev.cells[ax] + 1
         for key, arr in parts.items():
             lo = _slice_axis(arr, ax, slice(0, n_nodes))
             hi = _slice_axis(arr, ax, slice(1, n_nodes + 1))
@@ -592,23 +605,74 @@ def _nodes_unique(x_allnodes, lev: NodalLevel):
 
 
 def nodal_apply(phi, lev: NodalLevel):
-    """L(phi) via the FEM stencil (+ identity on Dirichlet rows);
-    coefficients computed on the fly from sigma (memory-optimal)."""
+    """L(phi) via the FACTORIZED Q1 FEM element stencil (+ identity on
+    Dirichlet rows).
+
+    The element stiffness factorizes into rank-1 tensor products:
+    K1d = (1/h) d d^T and M1d = (h/4) s s^T + (h/12) d d^T with
+    s=(1,1), d=(1,-1), so
+
+        L(phi) = -(1/V) sum_p C_p A_p^T ( sigma . (A_p phi) )
+
+    over the 2^D-1 sign patterns p in {s,d}^D \\ {s..s}, where A_p
+    contracts nodes->cells with the per-axis 2-point stencils and
+    C_p = sum_{d: p_d=d} (1/h_d) prod_{a!=d} (h_a/4 if p_a=s else
+    h_a/12).  Algebraically identical to the 27-point box-sum form,
+    but needs only ~5 live node-sized buffers: the box-sum form
+    materialises the S_Delta partial sums (18 GB at 512^3 -- the
+    single-chip RESOURCE_EXHAUSTED cause)."""
+    import itertools
     ndim = len(lev.dx)
     assert lev.sigma_pad is not None, "use NodalLevel.with_stencil()"
-    boxsums = _nodal_boxsums(lev)
+    phi, lev = lev.barriered(phi)
+    # interior sigma (cells) as a window of the padded array
+    sig = lev.sigma_pad
+    for ax in range(ndim):
+        sig = _slice_axis(sig, ax, slice(1, 1 + lev.cells[ax]))
+    # phi on all n_cells+1 node positions per axis (wrap the periodic dup)
     p = phi
     for ax in range(ndim):
-        p = _wrap_pad(p, ax) if lev.periodic[ax] else _zero_pad(p, ax)
+        if lev.periodic[ax]:
+            p = _wrap_pad(p, ax, lo=0, hi=1)
+    vol = 1.0
+    for d in lev.dx:
+        vol *= d
     out = None
-    n_nodes = phi.shape
-    for delta, S in boxsums.items():
-        w = _nodal_weight(lev, delta)
-        v = p
-        for ax, dlt in enumerate(delta):
-            v = _slice_axis(v, ax, slice(1 + dlt, 1 + dlt + n_nodes[ax]))
-        term = (w * S) * v
-        out = term if out is None else out + term
+    for pattern in itertools.product("sd", repeat=ndim):
+        if "d" not in pattern:
+            continue
+        C = 0.0
+        for d in range(ndim):
+            if pattern[d] != "d":
+                continue
+            term = 1.0 / lev.dx[d]
+            for a in range(ndim):
+                if a == d:
+                    continue
+                term *= (lev.dx[a] / 4.0) if pattern[a] == "s" \
+                    else (lev.dx[a] / 12.0)
+            C += term
+        # contract nodes -> cells
+        y = p
+        for ax in range(ndim):
+            m = y.shape[ax]
+            lo = _slice_axis(y, ax, slice(0, m - 1))
+            hi = _slice_axis(y, ax, slice(1, m))
+            y = (lo + hi) if pattern[ax] == "s" else (lo - hi)
+        y = (-C / vol) * sig * y
+        # scatter cells -> nodes (transpose: out_j = y_j +/- y_{j-1})
+        for ax in range(ndim):
+            m = lev.cells[ax]
+            if lev.periodic[ax]:
+                yp = _wrap_pad(y, ax, lo=1, hi=0)
+                prev = _slice_axis(yp, ax, slice(0, m))
+                cur = y
+            else:
+                yp = _zero_pad(y, ax)
+                prev = _slice_axis(yp, ax, slice(0, m + 1))
+                cur = _slice_axis(yp, ax, slice(1, m + 2))
+            y = (cur + prev) if pattern[ax] == "s" else (cur - prev)
+        out = y if out is None else out + y
     out = _apply_dirichlet_mask(out, lev, identity_from=phi)
     return out
 
@@ -642,10 +706,21 @@ def _set_slab(x, axis, idx, val):
 
 
 def nodal_diag(lev: NodalLevel):
-    """diag(L): the Delta=0 stencil coefficient; 1 on Dirichlet rows."""
+    """diag(L): the Delta=0 stencil coefficient; 1 on Dirichlet rows.
+    Computes ONLY the Delta=0 box-sum -- building all 27 via
+    _nodal_boxsums materialises 3+9+27 node-sized temporaries when
+    called eagerly (21 GB at 512^3)."""
     ndim = len(lev.dx)
     zero = (0,) * ndim
-    d = _nodal_weight(lev, zero) * _nodal_boxsums(lev)[zero]
+    s0 = lev.sigma_pad
+    for ax in range(ndim):
+        n_nodes = lev.cells[ax] + 1
+        s0 = (_slice_axis(s0, ax, slice(0, n_nodes))
+              + _slice_axis(s0, ax, slice(1, n_nodes + 1)))
+    for ax in range(ndim):
+        if lev.periodic[ax]:
+            s0 = _slice_axis(s0, ax, slice(0, s0.shape[ax] - 1))
+    d = _nodal_weight(lev, zero) * s0
     # Dirichlet rows: identity
     for ax in range(ndim):
         if lev.periodic[ax]:

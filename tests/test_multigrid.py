@@ -206,3 +206,52 @@ def test_nodal_dirichlet_pressure_outflow():
     assert float(jnp.max(jnp.abs(phi[-1, :]))) == 0.0
     r = mg._zero_dirichlet(rhs, s.levels[0]) - mg.nodal_apply(phi, s.levels[0])
     assert float(jnp.max(jnp.abs(r))) < 1e-11 * float(jnp.max(jnp.abs(rhs)))
+
+
+def test_nodal_apply_factorized_matches_boxsum_form():
+    """The rank-1-factorized Q1 FEM apply (memory-optimal; what ships)
+    must agree with the direct 27-point box-sum assembly (kept as the
+    reference implementation) for every BC combination."""
+    rng = np.random.RandomState(7)
+
+    def boxsum_apply(phi, lev):
+        ndim = len(lev.dx)
+        boxsums = mg._nodal_boxsums(lev)
+        p = phi
+        for ax in range(ndim):
+            p = mg._wrap_pad(p, ax) if lev.periodic[ax] \
+                else mg._zero_pad(p, ax)
+        out = None
+        n_nodes = phi.shape
+        for delta, S in boxsums.items():
+            w = mg._nodal_weight(lev, delta)
+            v = p
+            for ax, dlt in enumerate(delta):
+                v = mg._slice_axis(v, ax, slice(1 + dlt, 1 + dlt + n_nodes[ax]))
+            term = (w * S) * v
+            out = term if out is None else out + term
+        return mg._apply_dirichlet_mask(out, lev, identity_from=phi)
+
+    cases = [
+        ((True, True, True), None, None),
+        ((False, True, False),
+         (mg.SolverBC.NEUMANN,) * 3, (mg.SolverBC.DIRICHLET,) * 3),
+        ((False, False),
+         (mg.SolverBC.DIRICHLET, mg.SolverBC.NEUMANN),
+         (mg.SolverBC.NEUMANN,) * 2),
+    ]
+    for per, bclo, bchi in cases:
+        ndim = len(per)
+        n = (8, 12, 10)[:ndim]
+        dx = tuple(1.0 / v for v in n)
+        bl = bclo or (mg.SolverBC.PERIODIC,) * ndim
+        bh = bchi or (mg.SolverBC.PERIODIC,) * ndim
+        sigma = jnp.asarray(0.5 + rng.rand(*n))
+        lev = mg.NodalLevel(dx, per, tuple(int(b) for b in bl),
+                            tuple(int(b) for b in bh), sigma).with_stencil()
+        nodes = tuple(v if per[a] else v + 1 for a, v in enumerate(n))
+        phi = jnp.asarray(rng.randn(*nodes))
+        a_new = mg.nodal_apply(phi, lev)
+        a_old = boxsum_apply(phi, lev)
+        scale = float(jnp.max(jnp.abs(a_old)))
+        assert float(jnp.max(jnp.abs(a_new - a_old))) < 1e-13 * scale
