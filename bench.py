@@ -152,12 +152,12 @@ def main():
         return float(_np.asarray(state.dt))
 
     for _ in range(3):   # compile + reach steady MG warm-start behavior
-        s = sim.advance(s)
+        s = sim.advance(s, donate=True)
     sync(s)
 
     t0 = time.perf_counter()
     for _ in range(steps):
-        s = sim.advance(s)
+        s = sim.advance(s, donate=True)
     sync(s)
     dt_wall = (time.perf_counter() - t0) / steps
 

@@ -59,6 +59,11 @@ class Simulation:
             if data.has_eb:
                 self.eb = ebops.build_eb_arrays(data, cfg.grid, self.dtype)
         self._advance = jax.jit(self._advance_impl)
+        # donating variant: aliases the old state's buffers into the new
+        # state (frees ~4 field sets at peak -- the difference between
+        # fitting and OOM at 512^3 single-chip).  Callers must not read
+        # the old SimState afterwards.
+        self._advance_donated = jax.jit(self._advance_impl, donate_argnums=0)
         self._initial_iteration = jax.jit(self._initial_iteration_impl)
         self._init_project = jax.jit(self._initial_projection_impl)
 
@@ -591,8 +596,11 @@ class Simulation:
         return SimState(level=new, t=s.t + dt, dt=dt, prev_dt=s.dt,
                         prev_prev_dt=s.prev_dt, step=s.step + 1)
 
-    def advance(self, s: SimState) -> SimState:
-        return self._advance(s)
+    def advance(self, s: SimState, donate: bool = False) -> SimState:
+        """One time step.  donate=True reuses the old state's device
+        buffers for the new state (lower peak memory; the old SimState
+        must not be read afterwards)."""
+        return self._advance_donated(s) if donate else self._advance(s)
 
     # ------------------------------------------------------------------
     # initialization (reference InitData / InitialProjection /
