@@ -143,12 +143,22 @@ def _sync(state):
 
 
 def _timed_run(sim, s, steps, donate):
-    for _ in range(2):
-        s = sim.advance(s, donate=donate)
+    if donate:
+        # the low-memory per-step path (buffer donation + scan don't mix)
+        for _ in range(2):
+            s = sim.advance(s, donate=True)
+        _sync(s)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            s = sim.advance(s, donate=True)
+        _sync(s)
+        return s, (time.perf_counter() - t0) / steps
+    # production path: `steps` steps per device dispatch (lax.scan), the
+    # way a real run batches between I/O points
+    s = sim.advance_n(s, steps)     # compile + warm
     _sync(s)
     t0 = time.perf_counter()
-    for _ in range(steps):
-        s = sim.advance(s, donate=donate)
+    s = sim.advance_n(s, steps)
     _sync(s)
     return s, (time.perf_counter() - t0) / steps
 

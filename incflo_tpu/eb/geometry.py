@@ -261,6 +261,10 @@ class EBData:
     eb_normal: np.ndarray              # (cells, d), unit, into the FLUID
     centroid: np.ndarray               # (cells, d) fluid centroid offset
                                        # from cell center in units of dx
+    # face fluid-area centroid offsets from the face center, units of dx
+    # (normal component always 0; reference EBFArrayBoxFactory
+    # getFaceCent, consumed by incflo_mol_predict_eb.cpp:99-101)
+    face_cent: Optional[List[np.ndarray]] = None   # per axis: faces+(d,)
     all_regular: bool = False
 
     @property
@@ -375,8 +379,9 @@ def compute_eb_data(phi_if: IF, grid: Grid, refine: int = 4) -> EBData:
 
     vfrac = _box_fraction_refined(node_phi, s, nd)
 
-    # face area fractions: (nd-1)-dimensional fractions on face lattices
+    # face area fractions + fluid centroids on the face lattices
     afrac = []
+    face_cent = []
     for d in range(nd):
         sl = [slice(None)] * nd
         sl[d] = slice(0, node_phi.shape[d], s)
@@ -384,11 +389,19 @@ def compute_eb_data(phi_if: IF, grid: Grid, refine: int = 4) -> EBData:
         if nd == 2:
             t = 1 - d
             # 1D fraction along axis t for each face
-            a = _line_fraction(face_nodes, s, d, t)
+            a, cent_t = _line_fraction(face_nodes, s, d, t,
+                                       with_centroid=True)
+            fc = np.zeros(a.shape + (nd,))
+            fc[..., t] = cent_t
         else:
-            a = _quad_fraction(face_nodes, s, d,
-                               [ax for ax in range(3) if ax != d])
+            t_axes = [ax for ax in range(3) if ax != d]
+            a, cents = _quad_fraction(face_nodes, s, d, t_axes,
+                                      with_centroid=True)
+            fc = np.zeros(a.shape + (nd,))
+            fc[..., t_axes[0]] = cents[0]
+            fc[..., t_axes[1]] = cents[1]
         afrac.append(np.clip(a, 0.0, 1.0))
+        face_cent.append(fc)
 
     # snap tiny volume fractions to covered (AMReX EB2 small_volfrac
     # analog); cells below this cannot be represented stably by the
@@ -443,12 +456,14 @@ def _face_shape(n, d):
     return tuple(nn + (1 if ax == d else 0) for ax, nn in enumerate(n))
 
 
-def _line_fraction(face_nodes, s, d, t):
-    """2D: fraction of each face (a segment along axis t) that is fluid."""
+def _line_fraction(face_nodes, s, d, t, with_centroid=False):
+    """2D: fraction of each face (a segment along axis t) that is fluid;
+    optionally also the fluid centroid offset along t (units of dx)."""
     # face_nodes: coarse nodes along d (n_d+1), fine nodes along t (s*n_t+1)
     nd = 2
     n_t = (face_nodes.shape[t] - 1) // s
     out = 0.0
+    mom = 0.0
     for off in range(s):
         sl_lo = [slice(None)] * nd
         sl_hi = [slice(None)] * nd
@@ -457,17 +472,28 @@ def _line_fraction(face_nodes, s, d, t):
         lo = face_nodes[tuple(sl_lo)]
         hi = face_nodes[tuple(sl_hi)]
         corner = np.stack([lo, hi], axis=-1)
-        out = out + _simplex_fraction(corner, 1)
-    return out / s
+        f = _simplex_fraction(corner, 1)
+        out = out + f
+        if with_centroid:
+            mom = mom + f * ((off + 0.5) / s - 0.5)
+    frac = out / s
+    if not with_centroid:
+        return frac
+    cent = mom / s / np.maximum(frac, 1e-12)
+    cent = np.where(frac > 1e-12, cent, 0.0)
+    return frac, cent
 
 
-def _quad_fraction(face_nodes, s, d, t_axes):
-    """3D: fluid fraction of each face (a quad over the two t axes)."""
+def _quad_fraction(face_nodes, s, d, t_axes, with_centroid=False):
+    """3D: fluid fraction of each face (a quad over the two t axes);
+    optionally the fluid centroid offsets along (t1, t2)."""
     nd = 3
     t1, t2 = t_axes
     n1 = (face_nodes.shape[t1] - 1) // s
     n2 = (face_nodes.shape[t2] - 1) // s
     out = 0.0
+    mom1 = 0.0
+    mom2 = 0.0
     import itertools
     for o1, o2 in itertools.product(range(s), repeat=2):
         def sl(a1, a2):
@@ -477,8 +503,18 @@ def _quad_fraction(face_nodes, s, d, t_axes):
             return face_nodes[tuple(x)]
         corner = np.stack([np.stack([sl(0, 0), sl(0, 1)], axis=-1),
                            np.stack([sl(1, 0), sl(1, 1)], axis=-1)], axis=-2)
-        out = out + _simplex_fraction(corner, 2)
-    return out / (s * s)
+        f = _simplex_fraction(corner, 2)
+        out = out + f
+        if with_centroid:
+            mom1 = mom1 + f * ((o1 + 0.5) / s - 0.5)
+            mom2 = mom2 + f * ((o2 + 0.5) / s - 0.5)
+    frac = out / (s * s)
+    if not with_centroid:
+        return frac
+    denom = np.maximum(frac, 1e-12) * (s * s)
+    c1 = np.where(frac > 1e-12, mom1 / denom, 0.0)
+    c2 = np.where(frac > 1e-12, mom2 / denom, 0.0)
+    return frac, (c1, c2)
 
 
 def _centroids(node_phi, s, nd, vfrac):

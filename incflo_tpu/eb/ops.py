@@ -270,3 +270,79 @@ def correct_small_cells(vel: jnp.ndarray, umac: Sequence[jnp.ndarray],
                         vel[..., d])
         comps.append(jnp.where(eb.small > 0.5, avg, vel[..., d]))
     return jnp.stack(comps, axis=-1)
+
+
+# ---------------------------------------------------------------------
+# one-sided derivatives at cut cells (reference incflo_derive_K.H:7-164:
+# quadratic one-sided (-1.5, 2, -0.5) stencils toward connected cells)
+# ---------------------------------------------------------------------
+
+def _axis_conn(eb: EBArrays, axis: int, sign: int):
+    """Connectivity mask toward the +/- unit offset along `axis`."""
+    off = tuple(sign if d == axis else 0 for d in range(len(eb.vfrac.shape)))
+    return eb.nbr_conn[eb.offsets.index(off)]
+
+
+def eb_cc_derivative(q_g: jnp.ndarray, comp, axis: int, grid: Grid,
+                     ng: int, eb: EBArrays) -> jnp.ndarray:
+    """d q[..., comp] / dx_axis at cell centers on the interior:
+    central in regular cells; quadratic one-sided (c0,c1,c2) =
+    (-1.5, 2, -0.5) toward the connected side at cut cells with a
+    covered neighbor (needs ng >= 2 ghosts)."""
+    from incflo_tpu.ops.stencil import window
+    nd = grid.ndim
+    v = q_g[..., comp] if comp is not None else q_g
+
+    def interior(a, shift):
+        """a(i + shift e_axis) on the interior cells."""
+        out = a
+        for ax in range(nd):
+            lo = ng + (shift if ax == axis else 0)
+            hi = ng - (shift if ax == axis else 0)
+            out = window(out, ax, lo, hi)
+        return out
+
+    idx = 1.0 / grid.dx[axis]
+    c0, c1, c2 = -1.5, 2.0, -0.5
+    central = 0.5 * (interior(v, 1) - interior(v, -1)) * idx
+    backward = -(c0 * interior(v, 0) + c1 * interior(v, -1)
+                 + c2 * interior(v, -2)) * idx
+    forward = (c0 * interior(v, 0) + c1 * interior(v, 1)
+               + c2 * interior(v, 2)) * idx
+    conn_p = _axis_conn(eb, axis, +1) > 0.5
+    conn_m = _axis_conn(eb, axis, -1) > 0.5
+    cut = eb.cut > 0.5
+    one_sided = jnp.where(jnp.logical_and(cut, ~conn_p), backward,
+                          jnp.where(jnp.logical_and(cut, ~conn_m),
+                                    forward, central))
+    return one_sided * eb.fluid
+
+
+def eb_strainrate(vel_g: jnp.ndarray, grid: Grid, ng: int, eb: EBArrays
+                  ) -> jnp.ndarray:
+    """||2S|| with one-sided derivatives at cut cells (interior only;
+    reference incflo_strainrate_eb)."""
+    nd = grid.ndim
+    d = lambda c, ax: eb_cc_derivative(vel_g, c, ax, grid, ng, eb)
+    if nd == 2:
+        ux, vx = d(0, 0), d(1, 0)
+        uy, vy = d(0, 1), d(1, 1)
+        return jnp.sqrt(2 * ux * ux + 2 * vy * vy + (uy + vx) ** 2)
+    ux, vx, wx = d(0, 0), d(1, 0), d(2, 0)
+    uy, vy, wy = d(0, 1), d(1, 1), d(2, 1)
+    uz, vz, wz = d(0, 2), d(1, 2), d(2, 2)
+    return jnp.sqrt(2 * ux * ux + 2 * vy * vy + 2 * wz * wz
+                    + (uy + vx) ** 2 + (vz + wy) ** 2 + (wx + uz) ** 2)
+
+
+def eb_vorticity(vel_g: jnp.ndarray, grid: Grid, ng: int, eb: EBArrays
+                 ) -> jnp.ndarray:
+    """2D omega_z / 3D |curl u| with one-sided cut-cell derivatives
+    (reference incflo_derive.cpp EB branches)."""
+    d = lambda c, ax: eb_cc_derivative(vel_g, c, ax, grid, ng, eb)
+    if grid.ndim == 2:
+        return d(1, 0) - d(0, 1)
+    wy, vz = d(2, 1), d(1, 2)
+    uz, wx = d(0, 2), d(2, 0)
+    vx, uy = d(1, 0), d(0, 1)
+    return jnp.sqrt((wy - vz) ** 2 + (uz - wx) ** 2 + (vx - uy) ** 2)

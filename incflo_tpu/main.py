@@ -132,6 +132,24 @@ def run(argv):
     last_plt = -1
     last_chk = -1
     nsteps = 0
+    # batch steps into one device dispatch when nothing needs a per-step
+    # host sync (no verbose prints, no steady-state test, no time-based
+    # plotting / stop_time clamp checks).  Same pattern as a scanned
+    # training loop; removes the per-dispatch latency tax.
+    can_batch = (amr is None and cfg.verbose <= 0 and not cfg.steady_state
+                 and cfg.stop_time < 0 and cfg.plot_per_exact <= 0
+                 and cfg.plot_per_approx <= 0)
+
+    def _next_boundary(step):
+        """Steps until the next cadence point (plot/check/KE/max_step)."""
+        dists = []
+        for ival in (cfg.plot_int, cfg.check_int, cfg.KE_int):
+            if ival > 0:
+                dists.append(ival - step % ival)
+        if cfg.max_step >= 0:
+            dists.append(cfg.max_step - step)
+        return max(1, min(dists)) if dists else 16
+
     while True:
         t, step = float(s.t), int(s.step)
         if cfg.stop_time >= 0 and t >= cfg.stop_time - 1e-15 \
@@ -142,9 +160,20 @@ def run(argv):
 
         step_t0 = wallclock.time()
         prev_level = s.level
-        s = driver.advance(s)
+        if can_batch:
+            # power-of-two batch sizes only: each distinct n is a separate
+            # XLA compilation of the scanned step (expensive on TPU)
+            nbatch = 1
+            while nbatch * 2 <= min(_next_boundary(step), 16):
+                nbatch *= 2
+        else:
+            nbatch = 1
+        if nbatch > 1:
+            s = sim.advance_n(s, nbatch)
+        else:
+            s = driver.advance(s)
         jax.block_until_ready(s.level.velocity)
-        nsteps += 1
+        nsteps += nbatch
         t, step, dt = float(s.t), int(s.step), float(s.dt)
         if cfg.verbose > 0:
             print(f"Step {step} : t = {t:.12g}, dt = {dt:.12g} "

@@ -400,12 +400,21 @@ class CellSolver:
         x = self._smooth(x, b, li, self.nu2)
         return x
 
-    def solve(self, rhs, x0=None, rtol=1e-11, atol=1e-14, maxiter=200):
+    def solve(self, rhs, x0=None, rtol=1e-11, atol=1e-14, maxiter=200,
+              presmooth=0):
         """V-cycle-preconditioned conjugate gradients (the robustness
         MLMG gets from its BiCGStab bottom solve: plain MG stagnates on
         strong coefficient contrast, e.g. Bingham viscosity + EB).
         Returns (x, resnorm, iters).  Terminates on tolerance, maxiter,
-        or stagnation (the attainable floor of the working precision)."""
+        or stagnation (the attainable floor of the working precision).
+
+        presmooth > 0 runs that many fine-level RB sweeps before the PCG
+        and lazily skips the whole PCG (including its V-cycle setup) when
+        the residual is already under tolerance -- the fast path for the
+        diagonally-dominant Helmholtz solves (alpha*rho dominates
+        dt*div(eta grad) at CFL-limited dt), where a warm start + a few
+        sweeps converge and a V-cycle per iteration is pure launch
+        latency."""
         lev = self.levels[0]
         if x0 is None:
             x0 = jnp.zeros_like(rhs)
@@ -418,43 +427,64 @@ class CellSolver:
             return jnp.sum(a * b)
 
         r0 = rhs - cell_apply(x0, lev)
-        z0 = self._vcycle(jnp.zeros_like(r0), r0)
         res0 = _maxnorm(r0)
-        # CG's max-norm residual is non-monotone: track the best iterate
-        # and stop only after several iterations without improvement
-        state0 = (x0, r0, z0, dot(r0, z0), res0,
-                  x0, res0, jnp.array(0), jnp.array(0))
 
-        def cond(c):
-            x, r, p, rz, res, xb, rb, bad, it = c
-            return jnp.logical_and(
-                jnp.logical_and(rb > tol, it < maxiter), bad < 5)
+        if presmooth > 0:
+            def do_smooth(xr):
+                x, _, _ = xr
+                x = self._smooth(x, rhs, 0, presmooth)
+                r = rhs - cell_apply(x, lev)
+                return x, r, _maxnorm(r)
 
-        def body(c):
-            x, r, p, rz, res, xb, rb, bad, it = c
-            Ap = cell_apply(p, lev)
-            denom = dot(p, Ap)
-            alpha = rz / jnp.where(denom == 0, 1.0, denom)
-            x = x + alpha * p
-            r = r - alpha * Ap
-            z = self._vcycle(jnp.zeros_like(r), r)
-            rz_new = dot(r, z)
-            beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-            p = z + beta * p
-            new_res = _maxnorm(r)
-            improved = new_res < 0.999 * rb
-            xb = jnp.where(improved, x, xb)
-            rb = jnp.minimum(rb, new_res)
-            bad = jnp.where(improved, 0, bad + 1)
-            return x, r, p, rz_new, new_res, xb, rb, bad, it + 1
+            x0, r0, res0 = jax.lax.cond(res0 > tol, do_smooth,
+                                        lambda xr: xr, (x0, r0, res0))
 
-        _, _, _, _, _, x, res, _, it = jax.lax.while_loop(cond, body, state0)
+        def run_pcg(xr):
+            x0, r0, res0 = xr
+            z0 = self._vcycle(jnp.zeros_like(r0), r0)
+            # CG's max-norm residual is non-monotone: track the best
+            # iterate and stop only after several non-improving iters
+            state0 = (x0, r0, z0, dot(r0, z0), res0,
+                      x0, res0, jnp.array(0), jnp.array(0))
+
+            def cond(c):
+                x, r, p, rz, res, xb, rb, bad, it = c
+                return jnp.logical_and(
+                    jnp.logical_and(rb > tol, it < maxiter), bad < 5)
+
+            def body(c):
+                x, r, p, rz, res, xb, rb, bad, it = c
+                Ap = cell_apply(p, lev)
+                denom = dot(p, Ap)
+                alpha = rz / jnp.where(denom == 0, 1.0, denom)
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = self._vcycle(jnp.zeros_like(r), r)
+                rz_new = dot(r, z)
+                beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+                p = z + beta * p
+                new_res = _maxnorm(r)
+                improved = new_res < 0.999 * rb
+                xb = jnp.where(improved, x, xb)
+                rb = jnp.minimum(rb, new_res)
+                bad = jnp.where(improved, 0, bad + 1)
+                return x, r, p, rz_new, new_res, xb, rb, bad, it + 1
+
+            _, _, _, _, _, x, res, _, it = jax.lax.while_loop(cond, body,
+                                                              state0)
+            return x, res, it
+
+        def skip(xr):
+            x0, _, res0 = xr
+            return x0, res0, jnp.array(0)
+
+        x, res, it = jax.lax.cond(res0 > tol, run_pcg, skip, (x0, r0, res0))
         if self.singular:
             x = x - jnp.mean(x)
         return x, res, it
 
     def solve_inhom(self, rhs, bvals, x0=None, rtol=1e-11, atol=1e-14,
-                    maxiter=200):
+                    maxiter=200, presmooth=0):
         """Solve with inhomogeneous Dirichlet face values `bvals`
         ((axis, side) -> value).  The affine boundary contribution is
         folded into the RHS; the MG iteration stays homogeneous."""
@@ -462,7 +492,7 @@ class CellSolver:
         zero = jnp.zeros_like(rhs)
         offset = cell_apply_inhom(zero, lev, bvals)
         return self.solve(rhs - offset, x0=x0, rtol=rtol, atol=atol,
-                          maxiter=maxiter)
+                          maxiter=maxiter, presmooth=presmooth)
 
 
 # =====================================================================

@@ -83,6 +83,7 @@ class Simulation:
         # fitting and OOM at 512^3 single-chip).  Callers must not read
         # the old SimState afterwards.
         self._advance_donated = jax.jit(self._advance_impl, donate_argnums=0)
+        self._advance_n_cache = {}
         self._initial_iteration = jax.jit(self._initial_iteration_impl)
         self._init_project = jax.jit(self._initial_projection_impl)
 
@@ -140,8 +141,22 @@ class Simulation:
             forc_cfl = jnp.max(jnp.abs(vel_forces) * dxinv)
         explicit_diffusion = cfg.diff_type == DiffusionType.Explicit
         if explicit_diffusion:
-            diff_cfl = (jnp.max(1.0 / rho) * cfg.mu
-                        * 2.0 * jnp.sum(dxinv * dxinv))
+            from incflo_tpu.config import FluidModel
+            if cfg.fluid_model == FluidModel.Newtonian:
+                # reference form: m_mu * max(1/rho) (incflo_compute_dt.cpp
+                # :135-146 -- the "eta/rho" comment at :19 is aspirational)
+                mu_over_rho = jnp.max(1.0 / rho) * cfg.mu
+            else:
+                # non-Newtonian: eta can exceed mu by orders of magnitude
+                # (Bingham tau_0/papa_reg); the explicit stability bound
+                # must use the ACTUAL viscosity field
+                vel_g1 = self.grow_vel(vel, 1)
+                eta = rheology.compute_viscosity(vel_g1, grid, 1, cfg,
+                                                 out_ng=0)
+                if self.eb is not None:
+                    eta = eta * self.eb.fluid
+                mu_over_rho = jnp.max(eta / rho)
+            diff_cfl = mu_over_rho * 2.0 * jnp.sum(dxinv * dxinv)
             cd_cfl = conv_cfl + diff_cfl
         else:
             cd_cfl = conv_cfl
@@ -572,9 +587,10 @@ class Simulation:
 
     def _viscosity(self, vel_g, ng):
         """eta grown by 1; covered cells get eta=0 (reference
-        compute_viscosity_at_level covered branch)."""
+        compute_viscosity_at_level covered branch); cut cells use the
+        one-sided strain-rate stencils."""
         eta_g1 = rheology.compute_viscosity(vel_g, self.grid, ng, self.cfg,
-                                            out_ng=1)
+                                            out_ng=1, eb=self.eb)
         if self.eb is not None:
             fluid_g1 = bcs.grow_scalar(self.eb.fluid, 1, self.grid,
                                        bcs.make_bcrecs(1, self.grid.ndim) * 0
@@ -620,6 +636,24 @@ class Simulation:
         buffers for the new state (lower peak memory; the old SimState
         must not be read afterwards)."""
         return self._advance_donated(s) if donate else self._advance(s)
+
+    def advance_n(self, s: SimState, n: int) -> SimState:
+        """n time steps in ONE device dispatch (lax.scan over the step).
+
+        Host->device dispatch costs ~2.5 ms per call on the axon TPU
+        tunnel; batching steps between I/O points (the plot/check
+        cadence is many steps) removes that per-step tax -- the same
+        pattern as a scanned training loop."""
+        fn = self._advance_n_cache.get(n)
+        if fn is None:
+            def multi(state):
+                def body(c, _):
+                    return self._advance_impl(c), None
+                out, _ = jax.lax.scan(body, state, None, length=n)
+                return out
+            fn = jax.jit(multi)
+            self._advance_n_cache[n] = fn
+        return fn(s)
 
     # ------------------------------------------------------------------
     # initialization (reference InitData / InitialProjection /

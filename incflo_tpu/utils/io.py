@@ -113,15 +113,40 @@ def gather_plot_fields(s: SimState, cfg: IncfloConfig, sim) -> Dict[str, np.ndar
         out["p"] = np.asarray(derive.node_to_cell(lvl.p, grid))
     if "macphi" in want:
         out["macphi"] = np.asarray(lvl.mac_phi)
+    eb = getattr(sim, "eb", None)
     if "vort" in want:
-        out["vort"] = np.asarray(derive.vorticity(vel_g, grid, 2))
+        if eb is not None:
+            from incflo_tpu.eb import ops as ebops
+            out["vort"] = np.asarray(ebops.eb_vorticity(vel_g, grid, 2, eb))
+        else:
+            out["vort"] = np.asarray(derive.vorticity(vel_g, grid, 2))
     if "strainrate" in want:
-        out["strainrate"] = np.asarray(rheology.strainrate(vel_g, grid, 2))
+        if eb is not None:
+            from incflo_tpu.eb import ops as ebops
+            out["strainrate"] = np.asarray(
+                ebops.eb_strainrate(vel_g, grid, 2, eb))
+        else:
+            out["strainrate"] = np.asarray(
+                rheology.strainrate(vel_g, grid, 2))
     if "divu" in want:
         out["divu"] = np.asarray(derive.divu_cc(vel_g, grid, 2))
     if "eta" in want:
         out["eta"] = np.asarray(
-            rheology.compute_viscosity(vel_g, grid, 2, cfg, out_ng=0))
+            rheology.compute_viscosity(vel_g, grid, 2, cfg, out_ng=0,
+                                       eb=eb))
+    if "vfrac" in want:
+        # reference plots the EB volume fraction (io.cpp vfrac field);
+        # all-regular domains plot 1.0 like EB_set_covered semantics
+        if sim.eb is not None:
+            out["vfrac"] = np.asarray(sim.eb.vfrac)
+        else:
+            out["vfrac"] = np.ones(grid.cell_shape, np.float64)
+    if "forcing" in want:
+        # instantaneous velocity forcing -(gp+gp0)/rho + g (or Boussinesq)
+        f = sim.compute_vel_forces(lvl.density, lvl.tracer, lvl.tracer,
+                                   lvl.gp)
+        for c in range(nd):
+            out[f"forcing{'xyz'[c]}"] = np.asarray(f[..., c])
     return out
 
 

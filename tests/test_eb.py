@@ -151,3 +151,42 @@ incflo.do_initial_proj = 0
     # cut-cell mass conservation (periodic domain, fluid-volume weighted)
     mass1 = float(jnp.sum(sim.eb.vfrac * s.level.density))
     assert abs(mass1 - mass0) < 1e-11 * abs(mass0)
+
+
+def test_eb_one_sided_derivative_quadratic_exact():
+    """The (-1.5, 2, -0.5) one-sided stencil is exact for quadratics:
+    at a cut cell whose +x neighbor is covered, d(x^2)/dx must be exact
+    even though the covered-side values are garbage (zero) -- the
+    central difference across the wall is not (reference
+    incflo_derive_K.H:7-164)."""
+    g = Grid((16, 8), (0., 0.), (1., 0.5), (False, False))
+    # fluid in x < 0.6 (plane wall cutting through cells at x ~ 0.6)
+    wall = ebg.PlaneIF((0.603, 0.0), (1.0, 0.0))
+    eb = ebg.compute_eb_data(wall, g, refine=4)
+    arr = ebops.build_eb_arrays(eb, g, jnp.float64)
+
+    x = (np.arange(16) + 0.5) / 16.0
+    q = np.broadcast_to((x ** 2).reshape(-1, 1), (16, 8)).copy()
+    q[np.asarray(arr.covered) > 0.5] = 0.0     # garbage beyond the wall
+    ng = 2
+    q_g = np.pad(q, ng, mode="edge")           # irrelevant at the wall
+    dq = ebops.eb_cc_derivative(jnp.asarray(q_g), None, 0, g, ng, arr)
+
+    cut = np.asarray(arr.cut) > 0.5
+    fluid = np.asarray(arr.fluid) > 0.5
+    exact = np.broadcast_to((2 * x).reshape(-1, 1), (16, 8))
+    # at the cut column the one-sided stencil must be exact
+    assert cut.any()
+    np.testing.assert_allclose(np.asarray(dq)[cut], exact[cut], atol=1e-12)
+    # strain rate at wall-adjacent cells no longer blows up: for the
+    # linear-in-x u-velocity profile u=x (v=0), ||2S||=sqrt(2)*|ux|=
+    # sqrt(2) everywhere in the fluid
+    vel = np.zeros((16 + 2 * ng, 8 + 2 * ng, 2))
+    xg = (np.arange(-ng, 16 + ng) + 0.5) / 16.0
+    vel[..., 0] = xg.reshape(-1, 1)
+    # zero the covered region INCLUDING the real wall values
+    cov_g = np.pad(np.asarray(arr.covered) > 0.5, ng, mode="edge")
+    vel[cov_g, :] = 0.0
+    sr = ebops.eb_strainrate(jnp.asarray(vel), g, ng, arr)
+    np.testing.assert_allclose(np.asarray(sr)[fluid & cut],
+                               np.sqrt(2.0), atol=1e-10)
