@@ -23,7 +23,13 @@ a deliberately different architectural choice:
     same level structure the reference would produce.
 
 This trades the memory/FLOP savings of patch-based AMR for dense-grid
-throughput; a box-bucketed patch mode is the planned follow-up.
+throughput.  The PATCH mode delivering real savings is
+incflo_tpu/amr_patch.py (slab patches with coarse-fine fillpatch,
+Dirichlet solver closures, and average_down sync), selected with
+`amr.patch_mode = slab`; this dense mode remains the default because it
+is the more accurate hierarchy (no coarse-fine interpolation error) and
+the faster one whenever the refined region is a large fraction of the
+domain.
 """
 
 from __future__ import annotations

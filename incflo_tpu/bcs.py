@@ -148,9 +148,11 @@ class ExtDirValues:
         return c.reshape(shape)
 
     def slab(self, face_ax: int, side: int, comp: int,
-             pads: Sequence[int], dtype) -> jnp.ndarray:
+             pads: Sequence[int], dtype, g: int = 1) -> jnp.ndarray:
         """Value array (broadcastable over the ghost block) for one face and
-        one component. `pads` = ghost layers already present per axis."""
+        one component. `pads` = ghost layers already present per axis;
+        `g` = requested ghost width along face_ax (profile slabs are
+        constant along the normal, so the base class ignores it)."""
         v = self.values[face_ax, side, comp]
         pt = self.probtype
         ndim = self.grid.ndim
@@ -270,7 +272,7 @@ def _ghost_block(fc, ax, side, g, grid, pads, bct, ext_values, comp):
         shape = list(fc.shape)
         shape[ax] = g
         if ext_values is not None:
-            val = ext_values.slab(ax, side, comp, pads, fc.dtype)
+            val = ext_values.slab(ax, side, comp, pads, fc.dtype, g=g)
         else:
             val = jnp.zeros((), dtype=fc.dtype)
         return jnp.broadcast_to(val, shape).astype(fc.dtype)

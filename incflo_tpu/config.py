@@ -52,6 +52,7 @@ class IncfloConfig:
     max_level: int = 0
     ref_ratio: int = 2
     regrid_int: int = -1
+    patch_mode: str = ""
 
     # time stepping
     stop_time: float = -1.0
@@ -213,6 +214,8 @@ class IncfloConfig:
 
         c.max_level = int(amr.query("max_level", 0))
         c.regrid_int = int(amr.query("regrid_int", -1))
+        # "slab": patch-based refinement (amr_patch.py); "" = dense mode
+        c.patch_mode = str(amr.query("patch_mode", ""))
         c.KE_int = int(amr.query("KE_int", -1))
 
         # no-prefix ----------------------------------------------------

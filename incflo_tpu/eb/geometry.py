@@ -265,6 +265,11 @@ class EBData:
     # (normal component always 0; reference EBFArrayBoxFactory
     # getFaceCent, consumed by incflo_mol_predict_eb.cpp:99-101)
     face_cent: Optional[List[np.ndarray]] = None   # per axis: faces+(d,)
+    # per-OCTANT fluid fractions (2n per axis): the sub-cell integration
+    # data for the exact cut-cell nodal FEM operator (the analog of
+    # MLNodeLaplacian's EB stencil integration,
+    # incflo_apply_nodal_projection.cpp:134-153)
+    vfrac_oct: Optional[np.ndarray] = None
     all_regular: bool = False
 
     @property
@@ -378,6 +383,10 @@ def compute_eb_data(phi_if: IF, grid: Grid, refine: int = 4) -> EBData:
                       all_regular=True)
 
     vfrac = _box_fraction_refined(node_phi, s, nd)
+    # octant (half-cell) fluid fractions on the 2x lattice, from the same
+    # refined node data (requires refine even, default 4)
+    vfrac_oct = _box_fraction_refined(node_phi, s // 2, nd) \
+        if s % 2 == 0 else None
 
     # face area fractions + fluid centroids on the face lattices
     afrac = []
@@ -429,6 +438,10 @@ def compute_eb_data(phi_if: IF, grid: Grid, refine: int = 4) -> EBData:
         a = np.where(lo_c | hi_c, 0.0, a)
         a = np.where(lo_r & hi_r, 1.0, a)
         afrac[d] = a
+        # face centroid is meaningless on snapped faces: full faces are
+        # centered, closed faces contribute nothing
+        full = (a >= 1.0 - 1e-12) | (a <= 0.0)
+        face_cent[d] = np.where(full[..., None], 0.0, face_cent[d])
 
     # EB normal from the phi gradient at cell centers; EB area from the
     # divergence theorem: A_eb * n = -(sum of face-area differences)
@@ -448,8 +461,18 @@ def compute_eb_data(phi_if: IF, grid: Grid, refine: int = 4) -> EBData:
     # fluid centroid per cell (refined subcell-weighted)
     centroid = _centroids(node_phi, s, nd, vfrac)
 
+    if vfrac_oct is not None:
+        # consistency with the snapped flags: covered cells have no fluid
+        # octants, regular cells full ones
+        for idx in np.ndindex(*(2,) * nd):
+            sl = tuple(slice(i, None, 2) for i in idx)
+            sub = vfrac_oct[sl]
+            sub[flags == COVERED] = 0.0
+            sub[flags == REGULAR] = 1.0
     return EBData(vfrac=vfrac, afrac=afrac, flags=flags, eb_area=eb_area,
-                  eb_normal=eb_normal, centroid=centroid, all_regular=False)
+                  eb_normal=eb_normal, centroid=centroid,
+                  face_cent=face_cent, vfrac_oct=vfrac_oct,
+                  all_regular=False)
 
 
 def _face_shape(n, d):

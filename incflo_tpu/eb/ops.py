@@ -35,6 +35,18 @@ class EBArrays(NamedTuple):
     vtot: jnp.ndarray         # sum of connected neighbor vfrac
     wtot_inv: jnp.ndarray     # 1/sum of connected neighbor weights
     offsets: tuple            # static tuple of offset tuples
+    # centroid-aware MOL statics (reference EBFArrayBoxFactory data
+    # consumed by incflo_mol_{predict,fluxes}_eb.cpp):
+    face_cent: Tuple[jnp.ndarray, ...] = ()  # per axis: faces+(d,), dx units
+    ccent_g2: Optional[jnp.ndarray] = None   # cell fluid centroid, 2 ghosts
+    conn_g1: Optional[jnp.ndarray] = None    # (noff, cells+2) conn, 1 ghost
+    # packed symmetric inverse of the least-squares normal matrix
+    # M = sum_off conn*delta*delta^T (2D: [xx,xy,yy]; 3D: [xx,xy,xz,yy,yz,zz])
+    lsq_minv_g1: Optional[jnp.ndarray] = None  # cells+2 + (npack,)
+    near_g1: Optional[jnp.ndarray] = None      # 1.0 within 2 cells of non-regular
+    # octant (2x-lattice) fluid fractions: integration data of the exact
+    # cut-cell nodal FEM operator (multigrid.eb_nodal_apply)
+    vfrac_oct: Optional[jnp.ndarray] = None
 
 
 def _connectivity(eb: EBData, grid: Grid) -> Tuple[np.ndarray, list]:
@@ -125,6 +137,71 @@ def _face_take(size, f, n, periodic):
     return np.clip(idx, 0, n)
 
 
+def _pad_geom(a: np.ndarray, k: int, grid: Grid, ncomp_axes: int = 0
+              ) -> np.ndarray:
+    """Pad static geometry by k ghost cells per spatial axis: periodic
+    wrap, else edge replicate (domain-adjacent geometry is regular in all
+    supported decks; boundary faces are overridden by the BC path).
+    ncomp_axes trailing axes are never padded."""
+    out = a
+    for ax in range(grid.ndim):
+        p = [(0, 0)] * a.ndim
+        p[ax] = (k, k)
+        mode = "wrap" if grid.periodic[ax] else "edge"
+        out = np.pad(out, p, mode=mode)
+    return out
+
+
+def _dilate_np(mask: np.ndarray, k: int, grid: Grid) -> np.ndarray:
+    """Grow a boolean mask by k cells (host-side, wrap/edge like _pad_geom)."""
+    m = mask
+    for _ in range(k):
+        mp = _pad_geom(m, 1, grid)
+        acc = m.copy()
+        for ax in range(grid.ndim):
+            sl_lo = [slice(1, 1 + s) for s in m.shape]
+            sl_hi = [slice(1, 1 + s) for s in m.shape]
+            sl_lo[ax] = slice(0, m.shape[ax])
+            sl_hi[ax] = slice(2, m.shape[ax] + 2)
+            acc |= mp[tuple(sl_lo)] | mp[tuple(sl_hi)]
+        m = acc
+    return m
+
+
+def _lsq_statics(eb: EBData, grid: Grid, conn: np.ndarray, offsets):
+    """Static least-squares slope geometry on the grown-by-1 box:
+    M(i) = sum_off conn(i,off) * delta delta^T,
+    delta = off + ccent(i+off) - ccent(i);
+    returns (ccent_g2, conn_g1, packed Minv_g1).  The normal matrix is
+    pure geometry, so its (pseudo)inverse is precomputed host-side and
+    the runtime slope is npack multiply-adds per cell."""
+    nd = grid.ndim
+    ccent_g2 = _pad_geom(eb.centroid, 2, grid, ncomp_axes=1)
+    conn_g1 = np.stack([_pad_geom(m, 1, grid) for m in conn])
+    g1_shape = tuple(s + 2 for s in grid.n_cell)
+    M = np.zeros(g1_shape + (nd, nd))
+    c0 = ccent_g2[tuple(slice(1, 1 + s) for s in g1_shape)]
+    for m, off in zip(conn_g1, offsets):
+        cn = ccent_g2[tuple(slice(1 + off[ax], 1 + off[ax] + g1_shape[ax])
+                            for ax in range(nd))]
+        delta = np.asarray(off, float) + cn - c0
+        w = m.astype(float)
+        for a in range(nd):
+            for b in range(a, nd):
+                M[..., a, b] += w * delta[..., a] * delta[..., b]
+    for a in range(nd):
+        for b in range(a):
+            M[..., a, b] = M[..., b, a]
+    # pseudo-inverse: rank-deficient neighborhoods (sliver cells connected
+    # along fewer than nd directions) get the minimum-norm least-squares
+    # slope in the spanned directions and zero across the unseen ones;
+    # fully isolated/covered cells get Minv = 0 (slope 0)
+    Minv = np.linalg.pinv(M, rcond=1e-10, hermitian=True)
+    pairs = [(a, b) for a in range(nd) for b in range(a, nd)]
+    packed = np.stack([Minv[..., a, b] for a, b in pairs], axis=-1)
+    return ccent_g2, conn_g1, packed
+
+
 def build_eb_arrays(eb: EBData, grid: Grid, dtype) -> EBArrays:
     conn, offsets = _connectivity(eb, grid)
     nd = grid.ndim
@@ -154,6 +231,15 @@ def build_eb_arrays(eb: EBData, grid: Grid, dtype) -> EBArrays:
         wtot += m * nbr(eb.vfrac, off)   # wgt == 1 inside domain
     small = (eb.vfrac < 1e-4) & ~cov
 
+    ccent_g2, conn_g1, lsq_minv = _lsq_statics(eb, grid, conn, offsets)
+    near = _dilate_np(eb.flags != REGULAR, 2, grid)
+    near_g1 = _pad_geom(near, 1, grid)
+    if eb.face_cent is not None:
+        face_cent = tuple(jnp.asarray(fc, dtype) for fc in eb.face_cent)
+    else:
+        face_cent = tuple(jnp.zeros(a.shape + (nd,), dtype)
+                          for a in eb.afrac)
+
     mk = lambda a: jnp.asarray(a, dtype)
     return EBArrays(
         vfrac=mk(eb.vfrac),
@@ -167,6 +253,12 @@ def build_eb_arrays(eb: EBData, grid: Grid, dtype) -> EBArrays:
         vtot=mk(np.where(vtot > 0.0, vtot, 1.0)),
         wtot_inv=mk(np.where(wtot > 0.0, 1.0 / np.where(wtot > 0.0, wtot, 1.0), 0.0)),
         offsets=tuple(offsets),
+        face_cent=face_cent,
+        ccent_g2=mk(ccent_g2),
+        conn_g1=mk(conn_g1),
+        lsq_minv_g1=mk(lsq_minv),
+        near_g1=mk(near_g1),
+        vfrac_oct=mk(eb.vfrac_oct) if eb.vfrac_oct is not None else None,
     )
 
 

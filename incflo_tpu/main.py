@@ -72,7 +72,16 @@ def run(argv):
     from incflo_tpu.simulation import Simulation
     from incflo_tpu.utils import io
 
-    if cfg.max_level > 0:
+    if cfg.max_level > 0 and cfg.patch_mode == "slab":
+        from incflo_tpu.amr_patch import SlabAMRSimulation
+        amr = SlabAMRSimulation(cfg)
+        sim = amr.sim0
+        io_cfg = cfg
+        driver = amr
+
+        def write_plot(path, s):
+            io.write_plotfile_patch(path, s, amr, cfg)
+    elif cfg.max_level > 0:
         from incflo_tpu.amr import AMRSimulation
         amr = AMRSimulation(cfg)
         sim = amr.sim
@@ -89,6 +98,13 @@ def run(argv):
 
         def write_plot(path, s):
             io.write_plotfile(path, s, cfg, sim)
+
+    if cfg.max_level > 0 and cfg.patch_mode == "slab":
+        def write_chk(path, s):
+            io.write_checkpoint_patch(path, s, amr, cfg)
+    else:
+        def write_chk(path, s):
+            io.write_checkpoint(path, s, io_cfg)
 
     # optional device profiling (jax profiler traces; reference analog:
     # AMReX TinyProfiler via TINY_PROFILE)
@@ -109,16 +125,19 @@ def run(argv):
     t0 = wallclock.time()
     if cfg.restart_file:
         print(f"Restarting from checkpoint {cfg.restart_file}")
-        s = io.read_checkpoint(cfg.restart_file, io_cfg, sim.dtype)
-        if amr is not None:
-            amr.regrid(s)
+        if cfg.patch_mode == "slab" and cfg.max_level > 0:
+            s = io.read_checkpoint_patch(cfg.restart_file, amr, cfg)
+        else:
+            s = io.read_checkpoint(cfg.restart_file, io_cfg, sim.dtype)
+            if amr is not None:
+                amr.regrid(s)
         if cfg.plotfile_on_restart:
             path = f"{cfg.plot_file}{int(s.step):05d}"
             write_plot(path, s)
     else:
         s = driver.init_state()
         if cfg.check_int > 0:
-            io.write_checkpoint(f"{cfg.check_file}{int(s.step):05d}", s, io_cfg)
+            write_chk(f"{cfg.check_file}{int(s.step):05d}", s)
         if cfg.plot_int > 0 or cfg.plot_per_exact > 0 or cfg.plot_per_approx > 0:
             path = f"{cfg.plot_file}{int(s.step):05d}"
             write_plot(path, s)
@@ -194,7 +213,7 @@ def run(argv):
             io.write_job_info(path, cfg)
             last_plt = step
         if cfg.check_int > 0 and step % cfg.check_int == 0:
-            io.write_checkpoint(f"{cfg.check_file}{step:05d}", s, io_cfg)
+            write_chk(f"{cfg.check_file}{step:05d}", s)
             last_chk = step
 
     if prof_dir:
@@ -212,7 +231,7 @@ def run(argv):
         if step != last_plt:
             write_plot(f"{cfg.plot_file}{step:05d}", s)
     if cfg.check_int > 0 and step != last_chk:
-        io.write_checkpoint(f"{cfg.check_file}{step:05d}", s, io_cfg)
+        write_chk(f"{cfg.check_file}{step:05d}", s)
     return 0
 
 

@@ -302,7 +302,7 @@ def _tensor_pcg(x0, rhs, bvals, solver, dt_diff, eta_g1, grid, ng,
         return jnp.sum(a * b)
 
     def prec(r):
-        return solver._vcycle(jnp.zeros_like(r), r)
+        return solver._vcycle(jnp.zeros_like(r), r)[0]
 
     r0 = residual(x0)
     res0 = mg._maxnorm(r0)
@@ -345,7 +345,8 @@ def _tensor_pcg(x0, rhs, bvals, solver, dt_diff, eta_g1, grid, ng,
 def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
                      dt_diff, cfg: IncfloConfig, grid: Grid,
                      rtol=None, atol=None, eb=None, eta_g1=None,
-                     grow_fn=None, ng=None, grow_hom_fn=None):
+                     grow_fn=None, ng=None, grow_hom_fn=None,
+                     solver_bc_override=None, bvals_override=None):
     """(rho - dt div(eta (grad + grad^T))) u = rho u*  (reference
     DiffusionTensorOp::diffuse_velocity / diffuse_vel_components).
 
@@ -370,6 +371,19 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
         ebc = None
         acoef = rho
     bcs_all = [velocity_solver_bc(cfg, c) for c in range(grid.ndim)]
+    if solver_bc_override:
+        # coarse-fine patch faces: Dirichlet with interpolated values
+        # (amr_patch slab mode)
+        for c in range(grid.ndim):
+            lo, hi = bcs_all[c]
+            for (ax, side), bc in solver_bc_override.items():
+                (lo if side == 0 else hi)[ax] = bc
+    def _vb(c):
+        out = dict(velocity_bvals(cfg, c, dtype))
+        if bvals_override:
+            for key, arr in bvals_override.items():
+                out[key] = arr[..., c]
+        return out
 
     tensor = (cfg.use_tensor_solve and grow_fn is not None
               and eta_g1 is not None)
@@ -400,7 +414,7 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
             if grid.periodic[ax]:
                 continue
             for side in range(2):
-                vals = [jnp.asarray(velocity_bvals(cfg, c, dtype)[(ax, side)])
+                vals = [jnp.asarray(_vb(c)[(ax, side)])
                         for c in range(grid.ndim)]
                 vals = jnp.broadcast_arrays(*vals)
                 bvals[(ax, side)] = jnp.stack(vals, axis=-1)
@@ -436,7 +450,7 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
                                    bcoef=tuple(_eb_faces(eta_faces, eb)),
                                    ebc=ebc)
             rhs = acoef * vel[..., c]
-            x, res, it = solver.solve_inhom(rhs, velocity_bvals(cfg, c, dtype),
+            x, res, it = solver.solve_inhom(rhs, _vb(c),
                                             x0=vel[..., c], rtol=rtol,
                                             atol=atol,
                                             maxiter=cfg.diff_mg_maxiter,
@@ -450,12 +464,16 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
 
 def diffuse_scalar(tracer: jnp.ndarray, rho: jnp.ndarray, eta_faces_per_comp,
                    dt_diff, cfg: IncfloConfig, grid: Grid,
-                   rtol=None, atol=None, eb=None):
+                   rtol=None, atol=None, eb=None,
+                   solver_bc_override=None, bvals_override=None):
     """(rho - dt div(mu grad)) s = rho s* per tracer (EB walls no-flux)."""
     dtype = tracer.dtype
     rtol = cfg.diff_mg_rtol if rtol is None else rtol
     atol = cfg.diff_mg_atol if atol is None else atol
     bc_lo, bc_hi = scalar_solver_bc(cfg)
+    if solver_bc_override:
+        for (ax, side), bc in solver_bc_override.items():
+            (bc_lo if side == 0 else bc_hi)[ax] = bc
     acoef = rho * jnp.where(eb.covered > 0.5, 1.0, eb.vfrac) \
         if eb is not None else rho
     comps = []
@@ -465,7 +483,11 @@ def diffuse_scalar(tracer: jnp.ndarray, rho: jnp.ndarray, eta_faces_per_comp,
                                bcoef=tuple(_eb_faces(eta_faces_per_comp[n],
                                                      eb)))
         rhs = acoef * tracer[..., n]
-        x, res, it = solver.solve_inhom(rhs, tracer_bvals(cfg, n, dtype),
+        tb = dict(tracer_bvals(cfg, n, dtype))
+        if bvals_override:
+            for key, arr in bvals_override.items():
+                tb[key] = arr[..., n]
+        x, res, it = solver.solve_inhom(rhs, tb,
                                         x0=tracer[..., n], rtol=rtol,
                                         atol=atol, maxiter=cfg.diff_mg_maxiter,
                                         presmooth=4)

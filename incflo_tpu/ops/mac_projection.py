@@ -71,13 +71,19 @@ def mac_divergence(umac: Sequence[jnp.ndarray], grid: Grid) -> jnp.ndarray:
 def project_mac_velocities(umac: List[jnp.ndarray], beta: List[jnp.ndarray],
                            grid: Grid, bc_kind: np.ndarray,
                            phi0=None, rtol=1e-11, atol=1e-14, maxiter=200,
-                           eb=None):
+                           eb=None, bc_override=None, phi_bvals=None):
     """Returns (umac_projected, phi, resnorm, iters).
 
     With EB (cut cells): solve div(ap beta grad phi) = div(ap u) and
     correct u -= beta grad phi on open faces (MLEBABecLap MacProjector
-    analog); faces with zero area fraction carry zero velocity."""
+    analog); faces with zero area fraction carry zero velocity.
+
+    bc_override / phi_bvals: coarse-fine patch faces (amr_patch slab
+    mode) take Dirichlet phi with interpolated coarse values."""
     bc_lo, bc_hi = projection_solver_bc(bc_kind, grid)
+    if bc_override:
+        for (ax, side), bc in bc_override.items():
+            (bc_lo if side == 0 else bc_hi)[ax] = bc
     # faces with tiny area fraction carry negligible flux but their
     # VALUES feed the small-cell velocity fix -- keep them at the
     # physical no-slip limit instead of flux/ap-amplified noise
@@ -96,9 +102,15 @@ def project_mac_velocities(umac: List[jnp.ndarray], beta: List[jnp.ndarray],
                                for d in range(grid.ndim)], grid)
     else:
         rhs = -mac_divergence(umac, grid)
-    phi, res, it = solver.solve(rhs, x0=phi0, rtol=rtol, atol=atol,
-                                maxiter=maxiter)
-    fluxes = mg.cell_fluxes(phi, solver.levels[0])   # beta_eff grad phi
+    if phi_bvals:
+        phi, res, it = solver.solve_inhom(rhs, phi_bvals, x0=phi0,
+                                          rtol=rtol, atol=atol,
+                                          maxiter=maxiter)
+        fluxes = mg.cell_fluxes_inhom(phi, solver.levels[0], phi_bvals)
+    else:
+        phi, res, it = solver.solve(rhs, x0=phi0, rtol=rtol, atol=atol,
+                                    maxiter=maxiter)
+        fluxes = mg.cell_fluxes(phi, solver.levels[0])   # beta_eff grad phi
     if eb is not None:
         new_umac = []
         for d in range(grid.ndim):

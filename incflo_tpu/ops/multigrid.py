@@ -358,8 +358,28 @@ class CellSolver:
             b != SolverBC.DIRICHLET for b in list(bc_lo) + list(bc_hi))
 
     # -- smoother ------------------------------------------------------
-    def _smooth(self, x, b, li, n):
+    def _smooth_res(self, x, b, li, n, want_residual):
+        """n RB sweeps (+ optional fused residual).  Periodic 3D f32
+        levels run the whole smooth in ONE Pallas dispatch
+        (ops/pallas_cell.py); jnp scan fallback elsewhere."""
         lev, diag = self.levels[li], self.diags[li]
+        from incflo_tpu.ops import pallas_cell as pc
+        if pc.enabled():
+            batched = x.ndim == self.ndim + 1
+            shape = x.shape[:-1] if batched else x.shape
+            if pc.supported(lev, shape, x.dtype):
+                fhi = pc.face_hi_coefs(lev)
+                if batched:
+                    outs = [pc.smooth(x[..., c], b[..., c], diag[..., c],
+                                      tuple(f[..., c] for f in fhi),
+                                      lev, n, want_residual)
+                            for c in range(x.shape[-1])]
+                    xs = jnp.stack([o[0] for o in outs], axis=-1)
+                    rs = (jnp.stack([o[1] for o in outs], axis=-1)
+                          if want_residual else None)
+                    return xs, rs
+                return pc.smooth(x, b, diag, fhi, lev, n, want_residual)
+
         # relative guard: near-degenerate rows (tiny EB cut cells) get no
         # GS update instead of a 1/eps-amplified one
         dmax = jnp.max(jnp.abs(diag))
@@ -367,7 +387,7 @@ class CellSolver:
         inv = jnp.where(ok, 1.0 / jnp.where(ok, diag, 1.0), 0.0)
 
         from incflo_tpu.ops import pallas_smoother as psm
-        if psm.ENABLED and psm.supported(x, lev):
+        if psm.ENABLED and x.ndim == self.ndim and psm.supported(x, lev):
             pad_fn = lambda v: _cell_pad_hom(v, lev)
 
             def sweep_p(x, _):
@@ -376,7 +396,7 @@ class CellSolver:
                 return out, None
 
             x, _ = jax.lax.scan(sweep_p, x, None, length=n)
-            return x
+            return x, (b - cell_apply(x, lev)) if want_residual else None
 
         red, black = _checkerboards(x.shape, x.dtype, self.ndim)
 
@@ -386,19 +406,20 @@ class CellSolver:
             return x, None
 
         x, _ = jax.lax.scan(sweep, x, None, length=n)
-        return x
+        return x, (b - cell_apply(x, lev)) if want_residual else None
 
-    def _vcycle(self, x, b, li=0):
+    def _smooth(self, x, b, li, n):
+        return self._smooth_res(x, b, li, n, False)[0]
+
+    def _vcycle(self, x, b, li=0, want_residual=False):
         lev = self.levels[li]
         if li == len(self.levels) - 1:
-            return self._smooth(x, b, li, self.nu_bottom)
-        x = self._smooth(x, b, li, self.nu1)
-        r = b - cell_apply(x, lev)
+            return self._smooth_res(x, b, li, self.nu_bottom, want_residual)
+        x, r = self._smooth_res(x, b, li, self.nu1, True)
         rc = _coarsen_cells(r, self.ndim)
-        ec = self._vcycle(jnp.zeros_like(rc), rc, li + 1)
+        ec, _ = self._vcycle(jnp.zeros_like(rc), rc, li + 1)
         x = x + _prolong_cells(ec, self.levels[li + 1])
-        x = self._smooth(x, b, li, self.nu2)
-        return x
+        return self._smooth_res(x, b, li, self.nu2, want_residual)
 
     def solve(self, rhs, x0=None, rtol=1e-11, atol=1e-14, maxiter=200,
               presmooth=0):
@@ -441,7 +462,7 @@ class CellSolver:
 
         def run_pcg(xr):
             x0, r0, res0 = xr
-            z0 = self._vcycle(jnp.zeros_like(r0), r0)
+            z0, _ = self._vcycle(jnp.zeros_like(r0), r0)
             # CG's max-norm residual is non-monotone: track the best
             # iterate and stop only after several non-improving iters
             state0 = (x0, r0, z0, dot(r0, z0), res0,
@@ -459,7 +480,7 @@ class CellSolver:
                 alpha = rz / jnp.where(denom == 0, 1.0, denom)
                 x = x + alpha * p
                 r = r - alpha * Ap
-                z = self._vcycle(jnp.zeros_like(r), r)
+                z, _ = self._vcycle(jnp.zeros_like(r), r)
                 rz_new = dot(r, z)
                 beta = rz_new / jnp.where(rz == 0, 1.0, rz)
                 p = z + beta * p
@@ -762,6 +783,46 @@ def nodal_diag(lev: NodalLevel):
     return d
 
 
+def eb_nodal_apply(phi, lev: NodalLevel, fine_lev: NodalLevel):
+    """EXACT octant-weighted cut-cell nodal FEM apply:  P^T L_fine P.
+
+    The coarse Q1 basis is exactly representable on the 2x-refined
+    lattice via linear nodal prolongation P, so the cut-cell weak form
+    integral (what AMReX MLNodeLaplacian assembles inside cut cells,
+    reference incflo_apply_nodal_projection.cpp:134-153) equals the
+    regular fine-lattice operator with per-octant sigma
+    (sigma_cell * octant fluid fraction) sandwiched between P^T and P.
+    Both operators are scaled by -1/cell-volume (_nodal_weight), which
+    absorbs the 2^D of P^T = 2^D * full-weighting restriction:
+    L_c = (V_f/V_c) P^T L_f P = R(L_f(P phi))."""
+    pf = _prolong_nodal(phi, fine_lev)
+    yf = nodal_apply(pf, fine_lev)
+    # fine Dirichlet rows carry identity(phi); those equations belong to
+    # the coarse boundary rows -- zero them before the transpose
+    yf = _zero_dirichlet(yf, fine_lev)
+    y = _restrict_nodal(yf, fine_lev)
+    return _apply_dirichlet_mask(y, lev, identity_from=phi)
+
+
+def eb_fine_level(sigma, vfrac_oct, lev: NodalLevel) -> NodalLevel:
+    """2x-refined NodalLevel whose sigma is the octant-weighted cell
+    sigma (the integration data of the exact cut-cell operator)."""
+    nd = len(lev.dx)
+    s = sigma
+    for ax in range(nd):
+        s = jnp.repeat(s, 2, axis=ax)
+    return NodalLevel(tuple(d / 2 for d in lev.dx), lev.periodic,
+                      lev.bc_lo, lev.bc_hi, s * vfrac_oct).with_stencil()
+
+
+def eb_nodal_divergence(upads_fine, fine_lev: NodalLevel):
+    """Consistent RHS for eb_nodal_apply: R(D_fine(u_fine)) (the same
+    volume scaling absorbs the P^T prefactor, see eb_nodal_apply)."""
+    df = nodal_divergence(upads_fine, fine_lev.dx)
+    df = _nodes_unique(df, fine_lev)
+    return _restrict_nodal(df, fine_lev)
+
+
 def _restrict_nodal(r, lev_f: NodalLevel):
     """Full-weighting (1/4,1/2,1/4)^D onto coincident coarse nodes."""
     ndim = len(lev_f.dx)
@@ -824,17 +885,37 @@ class NodalSolver:
                              _coarsen_cells(lev.sigma, ndim))
         self.levels = levels
         self.diags = [nodal_diag(l) for l in levels]
+        # relative guard: nodes surrounded by (near-)zero sigma*vfrac get
+        # no update instead of a 1/eps-amplified one (tiny EB cut cells)
+        self.dinvs = []
+        for diag in self.diags:
+            dmax = jnp.max(jnp.abs(diag))
+            ok = jnp.abs(diag) > 1e-8 * dmax
+            self.dinvs.append(
+                jnp.where(ok, 1.0 / jnp.where(ok, diag, 1.0), 0.0))
         self.singular = all(
             b != SolverBC.DIRICHLET for b in list(bc_lo) + list(bc_hi))
 
-    def _smooth(self, x, b, li, n):
-        lev, diag = self.levels[li], self.diags[li]
+    def _sigma_interior(self, li):
+        lev = self.levels[li]
+        s = lev.sigma_pad
+        for ax in range(self.ndim):
+            s = _slice_axis(s, ax, slice(1, 1 + lev.cells[ax]))
+        return s
+
+    def _smooth_res(self, x, b, li, n, want_residual):
+        """n RB sweeps (+ optional residual).  Uses the fused Pallas
+        kernel (ONE device dispatch; ops/pallas_nodal.py) where
+        supported; jnp scan fallback elsewhere."""
+        lev, inv = self.levels[li], self.dinvs[li]
+        from incflo_tpu.ops import pallas_nodal
+        if pallas_nodal.enabled() and pallas_nodal.supported(
+                lev, x.shape, x.dtype):
+            out = pallas_nodal.smooth(x, b, self._sigma_interior(li), inv,
+                                      lev, n, want_residual)
+            if out is not None:
+                return out if want_residual else (out[0], None)
         red, black = _checkerboards(x.shape, x.dtype)
-        # relative guard: nodes surrounded by (near-)zero sigma*vfrac get
-        # no update instead of a 1/eps-amplified one (tiny EB cut cells)
-        dmax = jnp.max(jnp.abs(diag))
-        ok = jnp.abs(diag) > 1e-8 * dmax
-        inv = jnp.where(ok, 1.0 / jnp.where(ok, diag, 1.0), 0.0)
 
         def sweep(x, _):
             x = x + red * (b - nodal_apply(x, lev)) * inv
@@ -842,29 +923,41 @@ class NodalSolver:
             return x, None
 
         x, _ = jax.lax.scan(sweep, x, None, length=n)
-        return x
+        return x, (b - nodal_apply(x, lev)) if want_residual else None
 
-    def _vcycle(self, x, b, li=0):
+    def _smooth(self, x, b, li, n):
+        return self._smooth_res(x, b, li, n, False)[0]
+
+    def _vcycle(self, x, b, li=0, want_residual=False):
         lev = self.levels[li]
         if li == len(self.levels) - 1:
-            return self._smooth(x, b, li, self.nu_bottom)
-        x = self._smooth(x, b, li, self.nu1)
-        r = b - nodal_apply(x, lev)
+            return self._smooth_res(x, b, li, self.nu_bottom, want_residual)
+        x, r = self._smooth_res(x, b, li, self.nu1, True)
         r = _zero_dirichlet(r, lev)
         rc = _restrict_nodal(r, lev)
         rc = _zero_dirichlet(rc, self.levels[li + 1])
-        ec = self._vcycle(jnp.zeros_like(rc), rc, li + 1)
+        ec, _ = self._vcycle(jnp.zeros_like(rc), rc, li + 1)
         x = x + _prolong_nodal(ec, lev)
-        x = self._smooth(x, b, li, self.nu2)
-        return x
+        return self._smooth_res(x, b, li, self.nu2, want_residual)
 
-    def solve(self, rhs, x0=None, rtol=1e-11, atol=1e-14, maxiter=100):
+    def solve(self, rhs, x0=None, rtol=1e-11, atol=1e-14, maxiter=100,
+              dirichlet_vals=None):
+        """dirichlet_vals ((axis, side) -> slab array) makes Dirichlet
+        rows INHOMOGENEOUS: identity rows converge to the given values
+        (the coarse-fine boundary closure of amr_patch slab mode)."""
         lev = self.levels[0]
         if x0 is None:
             x0 = jnp.zeros_like(rhs)
         if self.singular:
             rhs = rhs - jnp.mean(rhs)
         rhs = _zero_dirichlet(rhs, lev)
+        if dirichlet_vals:
+            for (ax, side), val in dirichlet_vals.items():
+                if lev.periodic[ax]:
+                    continue
+                bc = lev.bc_lo[ax] if side == 0 else lev.bc_hi[ax]
+                if bc == SolverBC.DIRICHLET:
+                    rhs = _set_slab(rhs, ax, 0 if side == 0 else -1, val)
         bnorm = _maxnorm(rhs)
         tol = jnp.maximum(rtol * bnorm, atol)
 
@@ -879,8 +972,8 @@ class NodalSolver:
 
         def body(c):
             x, res, _, it = c
-            x = self._vcycle(x, rhs)
-            new_res = _maxnorm(rhs - nodal_apply(x, lev))
+            x, r = self._vcycle(x, rhs, want_residual=True)
+            new_res = _maxnorm(r)
             return x, new_res, res, it + 1
 
         res0 = _maxnorm(rhs - nodal_apply(x0, lev))

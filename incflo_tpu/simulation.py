@@ -206,6 +206,27 @@ class Simulation:
         return dt_new.astype(self.dtype)
 
     # ------------------------------------------------------------------
+    # coarse-fine hooks (overridden by amr_patch.PatchSim; the base
+    # simulation spans the whole domain and has no interior faces)
+    # ------------------------------------------------------------------
+    def _mac_bc_args(self):
+        """Extra kwargs for project_mac_velocities at CF faces."""
+        return {}
+
+    def _nodal_bc_args(self):
+        """(bc_override, dirichlet_vals) for the nodal projection."""
+        return None, None
+
+    def _diff_bc_args(self, field):
+        """(solver_bc_override, bvals_override) for diffusion solves;
+        field is 'vel' or 'tra'."""
+        return None, None
+
+    def grow_vel_hom(self, v, ng):
+        """Homogeneous velocity ghost fill (ext_dir ghosts = 0)."""
+        return bcs.grow(v, ng, self.grid, self.vel_bcrec)
+
+    # ------------------------------------------------------------------
     # convective term (reference compute_convective_term)
     # ------------------------------------------------------------------
     def grow_force(self, f, ng=1):
@@ -256,7 +277,8 @@ class Simulation:
         umac, mac_phi, mac_res, mac_it = mac_projection.project_mac_velocities(
             umac, beta, grid, cfg.bc_kind, phi0=phi0,
             rtol=cfg.mac_mg_rtol, atol=cfg.mac_mg_atol,
-            maxiter=cfg.mac_mg_maxiter, eb=self.eb)
+            maxiter=cfg.mac_mg_maxiter, eb=self.eb,
+            **self._mac_bc_args())
         if cfg.use_mac_phi_in_godunov:
             mac_phi = mac_phi * (2.0 / dt)
 
@@ -296,13 +318,19 @@ class Simulation:
         rho_g = self.grow_rho(rho, ng)
         tra_g = self.grow_tra(tra, ng)
 
-        umac = mol.predict_vels_on_faces(vel_g, grid, ng, self.vel_bcrec)
+        if self.eb is not None:
+            from incflo_tpu.eb import mol as ebmol
+            umac = ebmol.predict_vels_on_faces_eb(vel_g, grid, ng,
+                                                  self.vel_bcrec, self.eb)
+        else:
+            umac = mol.predict_vels_on_faces(vel_g, grid, ng, self.vel_bcrec)
         rho_g1 = inner(rho_g, ng - 1, grid.ndim)
         beta = mac_projection.inv_rho_on_faces(rho_g1, grid)
         umac, mac_phi, mac_res, mac_it = mac_projection.project_mac_velocities(
             umac, beta, grid, cfg.bc_kind, phi0=mac_phi0,
             rtol=cfg.mac_mg_rtol, atol=cfg.mac_mg_atol,
-            maxiter=cfg.mac_mg_maxiter, eb=self.eb)
+            maxiter=cfg.mac_mg_maxiter, eb=self.eb,
+            **self._mac_bc_args())
 
         from incflo_tpu.eb import ops as ebops
 
@@ -312,20 +340,22 @@ class Simulation:
             r = ebops.eb_convective_rate(fluxes, grid, self.eb)
             return ebops.redistribute(r, grid, self.eb)
 
-        conv_u = rate(
-            mol.compute_convective_fluxes(vel_g, umac, grid, ng,
-                                          self.vel_bcrec))
+        def fluxes(q_g, bcrec):
+            if self.eb is None:
+                return mol.compute_convective_fluxes(q_g, umac, grid, ng,
+                                                     bcrec)
+            from incflo_tpu.eb import mol as ebmol
+            return ebmol.compute_convective_fluxes_eb(q_g, umac, grid, ng,
+                                                      bcrec, self.eb)
+
+        conv_u = rate(fluxes(vel_g, self.vel_bcrec))
         if cfg.constant_density:
             conv_r = jnp.zeros_like(rho)
         else:
-            conv_r = rate(
-                mol.compute_convective_fluxes(rho_g[..., None], umac, grid,
-                                              ng, self.den_bcrec))[..., 0]
+            conv_r = rate(fluxes(rho_g[..., None], self.den_bcrec))[..., 0]
         if cfg.advect_tracer:
             rhotrac = rho_g[..., None] * tra_g
-            conv_t = rate(
-                mol.compute_convective_fluxes(rhotrac, umac, grid, ng,
-                                              self.tra_bcrec))
+            conv_t = rate(fluxes(rhotrac, self.tra_bcrec))
         else:
             conv_t = jnp.zeros_like(tra)
         return conv_u, conv_r, conv_t, umac, mac_phi
@@ -351,25 +381,64 @@ class Simulation:
             inflow_scale = 1.0 - small_dt_flag
 
         sigma = scaling / rho_proj
-        if self.eb is not None:
-            # EB weak form: sigma and the divergence are vfrac-weighted
-            sigma_op = sigma * self.eb.vfrac
-            vel_in = vel_in * self.eb.vfrac[..., None]
-        else:
-            sigma_op = sigma
         bc_lo, bc_hi = mac_projection.projection_solver_bc(cfg.bc_kind, grid)
-        solver = mg.NodalSolver(grid.dx, grid.periodic, bc_lo, bc_hi,
-                                sigma_op)
+        nodal_bc_override, nodal_dvals = self._nodal_bc_args()
+        if nodal_bc_override:
+            for (ax, side), bc in nodal_bc_override.items():
+                (bc_lo if side == 0 else bc_hi)[ax] = bc
 
-        upads = self._pad_vel_for_divergence(vel_in, inflow_scale)
-        rhs = mg._nodes_unique(mg.nodal_divergence(upads, grid.dx),
-                               solver.levels[0])
         # warm start: p is last step's phi (pressure varies slowly)
         phi0 = None if incremental else p
-        phi, res, it = solver.solve(rhs, x0=phi0, rtol=cfg.nodal_mg_rtol,
-                                    atol=cfg.nodal_mg_atol,
-                                    maxiter=cfg.nodal_mg_maxiter)
-        gphi = solver.grad_at_cells(phi)
+        use_exact_eb = (self.eb is not None
+                        and self.eb.vfrac_oct is not None)
+        if use_exact_eb:
+            # solve the projection ON the 2x octant lattice: the regular
+            # variable-sigma nodal solver with sigma = sigma*octfrac IS
+            # the exact sub-cell-integrated cut-cell operator there
+            # (reference MLNodeLaplacian EB integration; a coarse-space
+            # Galerkin solve preconditioned by the vfrac operator
+            # diverges at sliver cells, where the two row scales differ
+            # by O(1/vfrac))
+            sigma_f = sigma
+            for ax in range(nd):
+                sigma_f = jnp.repeat(sigma_f, 2, axis=ax)
+            sigma_f = sigma_f * self.eb.vfrac_oct
+            fdx = tuple(d / 2 for d in grid.dx)
+            solver_f = mg.NodalSolver(fdx, grid.periodic, bc_lo, bc_hi,
+                                      sigma_f)
+            flev = solver_f.levels[0]
+            upads = self._pad_vel_for_divergence(vel_in, inflow_scale)
+            upads_f = self._octant_refine_pads(upads)
+            rhs_f = mg._nodes_unique(mg.nodal_divergence(upads_f, fdx),
+                                     flev)
+            x0 = None if phi0 is None else mg._prolong_nodal(phi0, flev)
+            phi_f, res, it = solver_f.solve(rhs_f, x0=x0,
+                                            rtol=cfg.nodal_mg_rtol,
+                                            atol=cfg.nodal_mg_atol,
+                                            maxiter=cfg.nodal_mg_maxiter)
+            # coarse nodal pressure by injection at coincident nodes
+            phi = phi_f[tuple(slice(0, None, 2) for _ in range(nd))]
+            gphi = self._eb_grad_at_cells(phi_f, flev)
+        else:
+            if self.eb is not None:
+                # legacy EB weak form (refine-odd geometries without
+                # octant data): vfrac-weighted sigma and divergence
+                sigma_op = sigma * self.eb.vfrac
+                vel_in_w = vel_in * self.eb.vfrac[..., None]
+            else:
+                sigma_op = sigma
+                vel_in_w = vel_in
+            solver = mg.NodalSolver(grid.dx, grid.periodic, bc_lo, bc_hi,
+                                    sigma_op)
+            upads = self._pad_vel_for_divergence(vel_in_w, inflow_scale)
+            rhs = mg._nodes_unique(mg.nodal_divergence(upads, grid.dx),
+                                   solver.levels[0])
+            phi, res, it = solver.solve(rhs, x0=phi0,
+                                        rtol=cfg.nodal_mg_rtol,
+                                        atol=cfg.nodal_mg_atol,
+                                        maxiter=cfg.nodal_mg_maxiter,
+                                        dirichlet_vals=nodal_dvals)
+            gphi = solver.grad_at_cells(phi)
         vel_new = vel - sigma[..., None] * gphi
         if self.eb is not None:
             vel_new = vel_new * self.eb.fluid[..., None]
@@ -411,6 +480,58 @@ class Simulation:
                 band = jnp.broadcast_to(val, band_shape) * inflow_scale
                 upads[ax] = u.at[tuple(sl)].set(band.astype(self.dtype))
         return upads
+
+    # -- exact cut-cell nodal projection helpers (mg.eb_nodal_apply) ----
+    def _octant_refine_pads(self, upads):
+        """Fine-lattice (2x) padded velocity components, octant-fraction
+        weighted: each coarse cell's value is replicated to its octants
+        and scaled by the octant fluid fraction.  Ghost cells replicate
+        the coarse ghost (the inflow band is piecewise constant across
+        its cell; the EB never meets a non-periodic face in supported
+        decks)."""
+        grid = self.grid
+        nd = grid.ndim
+        oct_frac = self.eb.vfrac_oct
+        # pad octant fractions by one FINE cell (wrap / edge)
+        op = oct_frac
+        for ax in range(nd):
+            if grid.periodic[ax]:
+                op = mg._wrap_pad(op, ax)
+            else:
+                op = mg._edge_pad(op, ax)
+        out = []
+        for u in upads:
+            uf = u
+            for ax in range(nd):
+                uf = jnp.repeat(uf, 2, axis=ax)         # 2n+4 fine cells
+                uf = mg._slice_axis(uf, ax, slice(1, uf.shape[ax] - 1))
+            out.append(uf * op)
+        return out
+
+    def _eb_grad_at_cells(self, phi_f, fine_lev):
+        """Cell gradient consistent with the octant-lattice projection:
+        the octant-fraction-weighted average of the fine-lattice cell
+        gradients of the fine nodal phi."""
+        grid = self.grid
+        nd = grid.ndim
+        oct_frac = self.eb.vfrac_oct
+
+        # aggregate octants -> cells with fluid-volume weights
+        def agg(a):
+            for ax in range(nd):
+                n = a.shape[ax]
+                a = (mg._slice_axis(a, ax, slice(0, n, 2))
+                     + mg._slice_axis(a, ax, slice(1, n, 2)))
+            return a
+
+        wsum = agg(oct_frac)
+        wsafe = jnp.maximum(wsum, 1e-12)
+        comps = []
+        for ax in range(nd):
+            gf = mg._node_to_cellgrad(phi_f, fine_lev, ax)
+            comps.append(jnp.where(wsum > 1e-12,
+                                   agg(gf * oct_frac) / wsafe, 0.0))
+        return jnp.stack(comps, axis=-1)
 
     # ------------------------------------------------------------------
     # predictor (reference incflo_apply_predictor.cpp)
@@ -467,9 +588,12 @@ class Simulation:
             if cfg.diff_type in (DiffusionType.Crank_Nicolson,
                                  DiffusionType.Implicit):
                 dt_diff = dt if cfg.diff_type == DiffusionType.Implicit else 0.5 * dt
+                sbc, sbv = self._diff_bc_args("tra")
                 tra_new = diffusion.diffuse_scalar(tra_new, rho_new,
                                                    tra_eta_faces, dt_diff,
-                                                   cfg, grid, eb=self.eb)
+                                                   cfg, grid, eb=self.eb,
+                                                   solver_bc_override=sbc,
+                                                   bvals_override=sbv)
 
         # velocity update
         vel_f = self.compute_vel_forces(rho_nph, tra_o, tra_new, old.gp)
@@ -485,10 +609,13 @@ class Simulation:
         if cfg.diff_type in (DiffusionType.Crank_Nicolson,
                              DiffusionType.Implicit):
             dt_diff = dt if cfg.diff_type == DiffusionType.Implicit else 0.5 * dt
+            dbc, dbv = self._diff_bc_args("vel")
             vel_new = diffusion.diffuse_velocity(
                 vel_new, rho_new, eta_faces, dt_diff, cfg, grid,
                 eb=self.eb, eta_g1=eta_g1,
-                grow_fn=lambda v: self.grow_vel(v, ng), ng=ng)
+                grow_fn=lambda v: self.grow_vel(v, ng), ng=ng,
+                grow_hom_fn=lambda v: self.grow_vel_hom(v, ng),
+                solver_bc_override=dbc, bvals_override=dbv)
 
         vel_new, p_new, gp_new, nodal_res, nodal_it = self.apply_projection(
             vel_new, vel_o, rho_nph, old.gp, old.p, dt, incremental,
@@ -553,9 +680,12 @@ class Simulation:
             if cfg.diff_type in (DiffusionType.Crank_Nicolson,
                                  DiffusionType.Implicit):
                 dt_diff = dt if cfg.diff_type == DiffusionType.Implicit else 0.5 * dt
+                sbc, sbv = self._diff_bc_args("tra")
                 tra_new = diffusion.diffuse_scalar(tra_new, rho_new,
                                                    tra_eta_faces, dt_diff,
-                                                   cfg, grid, eb=self.eb)
+                                                   cfg, grid, eb=self.eb,
+                                                   solver_bc_override=sbc,
+                                                   bvals_override=sbv)
 
         vel_f = self.compute_vel_forces(rho_nph, tra_o, tra_new, star.gp)
         dv = 0.5 * (conv_u + aux["conv_u"]) + vel_f
@@ -570,10 +700,13 @@ class Simulation:
         if cfg.diff_type in (DiffusionType.Crank_Nicolson,
                              DiffusionType.Implicit):
             dt_diff = dt if cfg.diff_type == DiffusionType.Implicit else 0.5 * dt
+            dbc, dbv = self._diff_bc_args("vel")
             vel_new = diffusion.diffuse_velocity(
                 vel_new, rho_new, eta_faces, dt_diff, cfg, grid,
                 eb=self.eb, eta_g1=eta_g1,
-                grow_fn=lambda v: self.grow_vel(v, ng), ng=ng)
+                grow_fn=lambda v: self.grow_vel(v, ng), ng=ng,
+                grow_hom_fn=lambda v: self.grow_vel_hom(v, ng),
+                solver_bc_override=dbc, bvals_override=dbv)
 
         vel_new, p_new, gp_new, nodal_res, nodal_it = self.apply_projection(
             vel_new, vel_o, rho_nph, star.gp, old.p, dt, False, small_dt_flag)
@@ -613,12 +746,21 @@ class Simulation:
     # ------------------------------------------------------------------
     # one full step
     # ------------------------------------------------------------------
-    def _advance_impl(self, s: SimState) -> SimState:
+    def peek_dt(self, s: SimState):
+        """The dt the next advance would use (amr_patch synchronizes the
+        no-subcycling hierarchy on the min over levels)."""
+        old = s.level
+        vf = self.compute_vel_forces(old.density, old.tracer, old.tracer,
+                                     old.gp)
+        return self.compute_dt(old.velocity, old.density, vf, s)
+
+    def _advance_impl(self, s: SimState, dt_force=None) -> SimState:
         cfg = self.cfg
         old = s.level
         vf = self.compute_vel_forces(old.density, old.tracer, old.tracer,
                                      old.gp)
-        dt = self.compute_dt(old.velocity, old.density, vf, s)
+        dt = self.compute_dt(old.velocity, old.density, vf, s) \
+            if dt_force is None else dt_force
         small_dt = jnp.where(
             jnp.logical_and(s.t > 0.0, dt < 0.1 * s.dt), 1.0, 0.0
         ).astype(self.dtype)

@@ -1,0 +1,131 @@
+"""Slab-patch AMR tests (VERDICT r1 Missing #2 / Next #6): real
+refinement savings with coarse-fine fillpatch, CF solver closures, and
+average_down synchronization, validated against the dense-fine ground
+truth on the rayleigh_taylor configuration."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from incflo_tpu.config import IncfloConfig
+from incflo_tpu.simulation import Simulation
+from incflo_tpu.amr_patch import SlabAMRSimulation
+
+RT2D = """
+amr.n_cell = 16 32
+amr.max_level = 1
+amr.patch_mode = slab
+geometry.prob_lo = 0. 0.
+geometry.prob_hi = 0.5 1.0
+geometry.is_periodic = 1 0
+ylo.type = "sw"
+yhi.type = "sw"
+incflo.probtype = 5
+incflo.gravity = 0. -0.1
+incflo.use_godunov = true
+incflo.constant_density = false
+incflo.advect_tracer = true
+incflo.ntrac = 1
+incflo.mu = 0.001
+incflo.mu_s = 0.001
+incflo.cfl = 0.9
+incflo.init_shrink = 1.0
+incflo.initial_iterations = 1
+incflo.gradrhoerr = 0.1
+"""
+
+
+@pytest.mark.slow
+def test_slab_two_level_advance_and_regrid():
+    cfg = IncfloConfig.from_text(RT2D)
+    amr = SlabAMRSimulation(cfg)
+    s = amr.init_state()
+    assert len(s.levels) == 2
+    lo, hi = amr.bounds[1]
+    n_ax = amr.sims[0].grid.n_cell[amr.axis]
+    assert 0 <= lo < hi <= n_ax
+    # genuine savings: the patch covers a strict subrange
+    assert (hi - lo) < n_ax
+    for _ in range(3):
+        s = amr.advance(s)
+    # levels stay time-synchronized (no subcycling)
+    assert float(s.levels[0].t) == pytest.approx(float(s.levels[1].t))
+    for lev in s.levels:
+        assert np.isfinite(np.asarray(lev.level.velocity)).all()
+        assert np.isfinite(np.asarray(lev.level.density)).all()
+    # average_down: coarse covered region equals the fine average
+    from incflo_tpu.amr_patch import _avg_down_window
+    lo, hi = amr.bounds[1]
+    sl = [slice(None)] * 2
+    sl[amr.axis] = slice(lo, hi)
+    cov = np.asarray(s.levels[0].level.density[tuple(sl)])
+    avg = np.asarray(_avg_down_window(s.levels[1].level.density, 2))
+    np.testing.assert_allclose(cov, avg, rtol=1e-12)
+    # regrid keeps the run alive
+    s = amr.regrid(s)
+    s = amr.advance(s)
+    assert np.isfinite(np.asarray(s.levels[1].level.velocity)).all()
+
+
+@pytest.mark.slow
+def test_slab_rt_matches_dense_fine():
+    """Two-level slab AMR vs the DENSE fine ground truth on a 2D RT
+    setup: after several steps the fine-level solution inside the patch
+    must track the uniformly-fine solution closely (the CF closure is
+    the only difference), while advancing ~40% fewer cells."""
+    # fixed dt: compare the two hierarchies at IDENTICAL times
+    cfg = IncfloConfig.from_text(RT2D + "incflo.fixed_dt = 0.2\n")
+    amr = SlabAMRSimulation(cfg)
+    s = amr.init_state()
+
+    import dataclasses
+    from incflo_tpu.grid import Grid
+    g = cfg.grid
+    fine_grid = Grid(tuple(2 * n for n in g.n_cell), g.prob_lo, g.prob_hi,
+                     g.periodic)
+    dense = Simulation(dataclasses.replace(cfg, grid=fine_grid))
+    sd = dense.init_state()
+
+    nsteps = 8
+    for _ in range(nsteps):
+        s = amr.advance(s)
+        sd = dense.advance(sd)
+    assert float(s.t) == pytest.approx(float(sd.t))
+
+    # compare density inside the patch (map patch -> dense index range)
+    lo, hi = amr.bounds[1]
+    ax = amr.axis
+    sl = [slice(None)] * 2
+    sl[ax] = slice(2 * lo, 2 * hi)
+    rho_dense = np.asarray(sd.level.density[tuple(sl)])
+    rho_patch = np.asarray(s.levels[1].level.density)
+    num = np.linalg.norm(rho_patch - rho_dense)
+    den = np.linalg.norm(rho_dense)
+    rel = num / den
+    assert rel < 0.02, f"patch vs dense-fine relative L2 {rel}"
+
+    cells_patch = sum(int(np.prod(x.grid.n_cell)) for x in amr.sims)
+    cells_dense = int(np.prod(fine_grid.n_cell))
+    assert cells_patch < cells_dense, (cells_patch, cells_dense)
+
+
+@pytest.mark.slow
+def test_slab_checkpoint_restart(tmp_path):
+    from incflo_tpu.utils import io
+    cfg = IncfloConfig.from_text(RT2D)
+    amr = SlabAMRSimulation(cfg)
+    s = amr.init_state()
+    s = amr.advance(s)
+    path = str(tmp_path / "chk_patch")
+    io.write_checkpoint_patch(path, s, amr, cfg)
+
+    amr2 = SlabAMRSimulation(cfg)
+    s2 = io.read_checkpoint_patch(path, amr2, cfg)
+    assert amr2.bounds == amr.bounds
+    np.testing.assert_array_equal(np.asarray(s.levels[1].level.velocity),
+                                  np.asarray(s2.levels[1].level.velocity))
+    a1 = amr.advance(s)
+    a2 = amr2.advance(s2)
+    np.testing.assert_allclose(np.asarray(a1.levels[1].level.velocity),
+                               np.asarray(a2.levels[1].level.velocity),
+                               atol=1e-13)
