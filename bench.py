@@ -182,7 +182,9 @@ def _child_main():
     import jax
 
     n = int(os.environ.get("INCFLO_BENCH_N", "128"))
-    steps = int(os.environ.get("INCFLO_BENCH_STEPS", "5"))
+    # 10-step batches: the warmup batch carries the run past the dt
+    # ramp-up so the timed batch measures the steady production path
+    steps = int(os.environ.get("INCFLO_BENCH_STEPS", "10"))
     dtype = os.environ.get("INCFLO_BENCH_DTYPE", "float32")
     config = os.environ.get("INCFLO_BENCH_CONFIG", "shear3d")
     donate = os.environ.get("INCFLO_BENCH_DONATE", "0") == "1"

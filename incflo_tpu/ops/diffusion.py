@@ -70,14 +70,20 @@ def scalar_solver_bc(cfg: IncfloConfig):
 
 def velocity_bvals(cfg: IncfloConfig, comp: int, dtype) -> Dict:
     """Dirichlet face values for velocity component `comp`, including the
-    probtype inflow profiles."""
+    probtype inflow profiles.
+
+    The solver's ghost fill pads axes in ascending order, so when it
+    reaches face axis `ax` every axis below is already one ghost wide:
+    profile slabs must be built with that padding (a z-inflow profile
+    varying along x otherwise mismatches the padded x extent)."""
     ev = cfg.velocity_ext_values()
     out = {}
     for ax in range(cfg.ndim):
         if cfg.grid.periodic[ax]:
             continue
         for side in range(2):
-            val = ev.slab(ax, side, comp, [0] * cfg.ndim, dtype)
+            pads = [1 if a < ax else 0 for a in range(cfg.ndim)]
+            val = ev.slab(ax, side, comp, pads, dtype)
             if val.ndim > cfg.ndim:   # drop the component axis
                 val = val[..., 0]
             out[(ax, side)] = val
@@ -346,7 +352,8 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
                      dt_diff, cfg: IncfloConfig, grid: Grid,
                      rtol=None, atol=None, eb=None, eta_g1=None,
                      grow_fn=None, ng=None, grow_hom_fn=None,
-                     solver_bc_override=None, bvals_override=None):
+                     solver_bc_override=None, bvals_override=None,
+                     prebuilt_solver=None):
     """(rho - dt div(eta (grad + grad^T))) u = rho u*  (reference
     DiffusionTensorOp::diffuse_velocity / diffuse_vel_components).
 
@@ -405,10 +412,16 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
             if tensor:
                 scale = scale.at[d].set(2.0)
             eta_b.append(base[d][..., None] * scale)
-        solver = mg.CellSolver(grid.dx, bc_lo, bc_hi, alpha=1.0,
-                               beta=dt_diff, acoef=acoef[..., None],
-                               bcoef=tuple(eta_b),
-                               ebc=ebc[..., None] if ebc is not None else None)
+        if prebuilt_solver is not None:
+            # constant-coefficient hierarchy built once at setup; only
+            # the beta=dt scalar (and beta-scaled diags) change per step
+            solver = prebuilt_solver.with_beta(dt_diff)
+        else:
+            solver = mg.CellSolver(
+                grid.dx, bc_lo, bc_hi, alpha=1.0,
+                beta=dt_diff, acoef=acoef[..., None],
+                bcoef=tuple(eta_b),
+                ebc=ebc[..., None] if ebc is not None else None)
         bvals = {}
         for ax in range(cfg.ndim):
             if grid.periodic[ax]:

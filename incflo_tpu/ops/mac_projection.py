@@ -71,7 +71,8 @@ def mac_divergence(umac: Sequence[jnp.ndarray], grid: Grid) -> jnp.ndarray:
 def project_mac_velocities(umac: List[jnp.ndarray], beta: List[jnp.ndarray],
                            grid: Grid, bc_kind: np.ndarray,
                            phi0=None, rtol=1e-11, atol=1e-14, maxiter=200,
-                           eb=None, bc_override=None, phi_bvals=None):
+                           eb=None, bc_override=None, phi_bvals=None,
+                           prebuilt_solver=None):
     """Returns (umac_projected, phi, resnorm, iters).
 
     With EB (cut cells): solve div(ap beta grad phi) = div(ap u) and
@@ -94,8 +95,9 @@ def project_mac_velocities(umac: List[jnp.ndarray], beta: List[jnp.ndarray],
         beta_eff = [beta[d] * eb.afrac[d] for d in range(grid.ndim)]
     else:
         beta_eff = beta
-    solver = mg.CellSolver(grid.dx, bc_lo, bc_hi, alpha=0.0, beta=1.0,
-                           acoef=None, bcoef=beta_eff)
+    solver = prebuilt_solver if prebuilt_solver is not None else \
+        mg.CellSolver(grid.dx, bc_lo, bc_hi, alpha=0.0, beta=1.0,
+                      acoef=None, bcoef=beta_eff)
     # L = -div(beta_eff grad phi); solve L phi = -div(ap u)
     if eb is not None:
         rhs = -mac_divergence([eb.afrac[d] * umac[d]

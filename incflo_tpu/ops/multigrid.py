@@ -357,6 +357,26 @@ class CellSolver:
         self.singular = (alpha == 0.0) and (ebc is None) and all(
             b != SolverBC.DIRICHLET for b in list(bc_lo) + list(bc_hi))
 
+    def with_beta(self, beta):
+        """Cheap re-parameterization: same coefficient hierarchy, new
+        beta scalar.  diag = alpha*a [+ beta*ebc] + beta*faceparts, so
+        only the scalar combination is recomputed -- no re-coarsening.
+        Lets constant-coefficient solvers be built ONCE at setup and
+        re-scaled by the (traced) dt every step (~1 ms/step/solver of
+        coarsening+diag chains at 128^3-class grids)."""
+        import copy
+        out = copy.copy(self)
+        out.levels = [dataclasses.replace(l, beta=beta)
+                      for l in self.levels]
+        out.diags = []
+        for l_old, l_new, d_old in zip(self.levels, out.levels,
+                                       self.diags):
+            base = l_old.alpha * (l_old.acoef if l_old.acoef is not None
+                                  else 0.0)
+            faceparts = (d_old - base) / l_old.beta
+            out.diags.append(base + beta * faceparts)
+        return out
+
     # -- smoother ------------------------------------------------------
     def _smooth_res(self, x, b, li, n, want_residual):
         """n RB sweeps (+ optional fused residual).  Periodic 3D f32
@@ -688,10 +708,8 @@ def nodal_apply(phi, lev: NodalLevel):
     vol = 1.0
     for d in lev.dx:
         vol *= d
-    out = None
-    for pattern in itertools.product("sd", repeat=ndim):
-        if "d" not in pattern:
-            continue
+
+    def coef(pattern):
         C = 0.0
         for d in range(ndim):
             if pattern[d] != "d":
@@ -703,28 +721,46 @@ def nodal_apply(phi, lev: NodalLevel):
                 term *= (lev.dx[a] / 4.0) if pattern[a] == "s" \
                     else (lev.dx[a] / 12.0)
             C += term
-        # contract nodes -> cells
-        y = p
-        for ax in range(ndim):
+        return -C / vol
+
+    # hierarchical shift sharing (same trees as ops/pallas_nodal.py):
+    # the contraction computes all 2^D sign patterns with ONE pair of
+    # slices per tree node, and the scatter merges sign pairs via
+    #   S^T(ts) + D^T(td) = (ts + td) + prev(ts - td),
+    # replacing 21 pad/concat ops (XLA fusion breakers) with 7
+    parts = {(): p}
+    for ax in range(ndim):
+        new = {}
+        for key, y in parts.items():
             m = y.shape[ax]
             lo = _slice_axis(y, ax, slice(0, m - 1))
             hi = _slice_axis(y, ax, slice(1, m))
-            y = (lo + hi) if pattern[ax] == "s" else (lo - hi)
-        y = (-C / vol) * sig * y
-        # scatter cells -> nodes (transpose: out_j = y_j +/- y_{j-1})
-        for ax in range(ndim):
-            m = lev.cells[ax]
+            new[key + ("s",)] = lo + hi
+            new[key + ("d",)] = lo - hi
+        parts = new
+    t = {pat: (coef(pat) * sig * y) if "d" in pat else None
+         for pat, y in parts.items()}
+    for ax in range(ndim - 1, -1, -1):
+        m = lev.cells[ax]
+        new = {}
+        for key in {k[:-1] for k in t}:
+            ts = t.get(key + ("s",))
+            td = t.get(key + ("d",))
+            if ts is None and td is None:
+                new[key] = None
+                continue
+            a = (0.0 if ts is None else ts) + (0.0 if td is None else td)
+            b = (0.0 if ts is None else ts) - (0.0 if td is None else td)
             if lev.periodic[ax]:
-                yp = _wrap_pad(y, ax, lo=1, hi=0)
-                prev = _slice_axis(yp, ax, slice(0, m))
-                cur = y
+                bp = _wrap_pad(b, ax, lo=1, hi=0)
+                new[key] = a + _slice_axis(bp, ax, slice(0, m))
             else:
-                yp = _zero_pad(y, ax)
-                prev = _slice_axis(yp, ax, slice(0, m + 1))
-                cur = _slice_axis(yp, ax, slice(1, m + 2))
-            y = (cur + prev) if pattern[ax] == "s" else (cur - prev)
-        out = y if out is None else out + y
-    out = _apply_dirichlet_mask(out, lev, identity_from=phi)
+                ap = _zero_pad(a, ax)
+                bp = _zero_pad(b, ax)
+                new[key] = (_slice_axis(ap, ax, slice(1, m + 2))
+                            + _slice_axis(bp, ax, slice(0, m + 1)))
+        t = new
+    out = _apply_dirichlet_mask(t[()], lev, identity_from=phi)
     return out
 
 

@@ -77,6 +77,17 @@ class Simulation:
         if cfg.use_godunov:
             self.godunov = godunov.GodunovScheme(
                 cfg.grid, cfg.godunov_ppm, cfg.godunov_use_forces_in_trans)
+        # constant-coefficient solver prebuilds: with constant density
+        # (and no EB) the MAC/nodal operators are dt-independent up to a
+        # scalar, so their coarsening/diag hierarchies (~1 ms/step each
+        # on a v5e at 128^3-class grids) are built ONCE here; Newtonian
+        # diffusion additionally prebuilds its coefficient hierarchy and
+        # re-scales beta=dt per step (mg.CellSolver.with_beta)
+        self._mac_solver = None
+        self._nodal_hat = None
+        self._diff_proto = None
+        if cfg.constant_density and self.eb is None:
+            self._build_static_solvers()
         self._advance = jax.jit(self._advance_impl)
         # donating variant: aliases the old state's buffers into the new
         # state (frees ~4 field sets at peak -- the difference between
@@ -205,6 +216,47 @@ class Simulation:
             return jnp.asarray(cfg.fixed_dt, self.dtype)
         return dt_new.astype(self.dtype)
 
+    def _build_static_solvers(self):
+        cfg = self.cfg
+        grid = self.grid
+        from incflo_tpu.config import FluidModel
+        inv_rho = 1.0 / cfg.ro_0
+        beta = []
+        for d in range(grid.ndim):
+            shape = tuple(n + (1 if ax == d else 0)
+                          for ax, n in enumerate(grid.cell_shape))
+            beta.append(jnp.full(shape, inv_rho, self.dtype))
+        bc_lo, bc_hi = mac_projection.projection_solver_bc(cfg.bc_kind,
+                                                           grid)
+        self._mac_solver = mg.CellSolver(grid.dx, bc_lo, bc_hi,
+                                         alpha=0.0, beta=1.0, acoef=None,
+                                         bcoef=tuple(beta))
+        # nodal operator for sigma-hat = 1/rho0; the in-step system with
+        # sigma = scaling/rho0 is the same operator scaled by `scaling`
+        self._nodal_hat = mg.NodalSolver(
+            grid.dx, grid.periodic, bc_lo, bc_hi,
+            jnp.full(grid.cell_shape, inv_rho, self.dtype))
+        if cfg.fluid_model == FluidModel.Newtonian \
+                and cfg.diff_type != DiffusionType.Explicit:
+            from incflo_tpu.ops.diffusion import velocity_solver_bc
+            bcs_all = [velocity_solver_bc(cfg, c)
+                       for c in range(grid.ndim)]
+            if all(b == bcs_all[0] for b in bcs_all):
+                eta_b = []
+                for d in range(grid.ndim):
+                    shape = tuple(n + (1 if ax == d else 0)
+                                  for ax, n in enumerate(grid.cell_shape))
+                    scale = jnp.ones((grid.ndim,), self.dtype)
+                    if cfg.use_tensor_solve:
+                        scale = scale.at[d].set(2.0)
+                    eta_b.append(jnp.full(shape, cfg.mu, self.dtype)
+                                 [..., None] * scale)
+                acoef = jnp.full(grid.cell_shape, cfg.ro_0, self.dtype)
+                blo, bhi = bcs_all[0]
+                self._diff_proto = mg.CellSolver(
+                    grid.dx, blo, bhi, alpha=1.0, beta=1.0,
+                    acoef=acoef[..., None], bcoef=tuple(eta_b))
+
     # ------------------------------------------------------------------
     # coarse-fine hooks (overridden by amr_patch.PatchSim; the base
     # simulation spans the whole domain and has no interior faces)
@@ -278,6 +330,8 @@ class Simulation:
             umac, beta, grid, cfg.bc_kind, phi0=phi0,
             rtol=cfg.mac_mg_rtol, atol=cfg.mac_mg_atol,
             maxiter=cfg.mac_mg_maxiter, eb=self.eb,
+            prebuilt_solver=self._mac_solver
+            if not self._mac_bc_args() else None,
             **self._mac_bc_args())
         if cfg.use_mac_phi_in_godunov:
             mac_phi = mac_phi * (2.0 / dt)
@@ -330,6 +384,8 @@ class Simulation:
             umac, beta, grid, cfg.bc_kind, phi0=mac_phi0,
             rtol=cfg.mac_mg_rtol, atol=cfg.mac_mg_atol,
             maxiter=cfg.mac_mg_maxiter, eb=self.eb,
+            prebuilt_solver=self._mac_solver
+            if not self._mac_bc_args() else None,
             **self._mac_bc_args())
 
         from incflo_tpu.eb import ops as ebops
@@ -428,14 +484,28 @@ class Simulation:
             else:
                 sigma_op = sigma
                 vel_in_w = vel_in
-            solver = mg.NodalSolver(grid.dx, grid.periodic, bc_lo, bc_hi,
-                                    sigma_op)
             upads = self._pad_vel_for_divergence(vel_in_w, inflow_scale)
-            rhs = mg._nodes_unique(mg.nodal_divergence(upads, grid.dx),
-                                   solver.levels[0])
+            use_hat = (self._nodal_hat is not None
+                       and nodal_bc_override is None)
+            if use_hat:
+                # constant density: sigma = scaling/rho0 = scaling *
+                # sigma_hat, so the PREBUILT sigma_hat operator solves
+                # the scaled system L_hat phi = rhs/scaling -- no
+                # per-step stencil/diag rebuild
+                solver = self._nodal_hat
+                rhs = mg._nodes_unique(
+                    mg.nodal_divergence(upads, grid.dx),
+                    solver.levels[0]) / scaling
+            else:
+                solver = mg.NodalSolver(grid.dx, grid.periodic, bc_lo,
+                                        bc_hi, sigma_op)
+                rhs = mg._nodes_unique(mg.nodal_divergence(upads, grid.dx),
+                                       solver.levels[0])
+            atol_eff = cfg.nodal_mg_atol / scaling if use_hat \
+                else cfg.nodal_mg_atol
             phi, res, it = solver.solve(rhs, x0=phi0,
                                         rtol=cfg.nodal_mg_rtol,
-                                        atol=cfg.nodal_mg_atol,
+                                        atol=atol_eff,
                                         maxiter=cfg.nodal_mg_maxiter,
                                         dirichlet_vals=nodal_dvals)
             gphi = solver.grad_at_cells(phi)
@@ -615,7 +685,8 @@ class Simulation:
                 eb=self.eb, eta_g1=eta_g1,
                 grow_fn=lambda v: self.grow_vel(v, ng), ng=ng,
                 grow_hom_fn=lambda v: self.grow_vel_hom(v, ng),
-                solver_bc_override=dbc, bvals_override=dbv)
+                solver_bc_override=dbc, bvals_override=dbv,
+                prebuilt_solver=self._diff_proto if dbc is None else None)
 
         vel_new, p_new, gp_new, nodal_res, nodal_it = self.apply_projection(
             vel_new, vel_o, rho_nph, old.gp, old.p, dt, incremental,
@@ -706,7 +777,8 @@ class Simulation:
                 eb=self.eb, eta_g1=eta_g1,
                 grow_fn=lambda v: self.grow_vel(v, ng), ng=ng,
                 grow_hom_fn=lambda v: self.grow_vel_hom(v, ng),
-                solver_bc_override=dbc, bvals_override=dbv)
+                solver_bc_override=dbc, bvals_override=dbv,
+                prebuilt_solver=self._diff_proto if dbc is None else None)
 
         vel_new, p_new, gp_new, nodal_res, nodal_it = self.apply_projection(
             vel_new, vel_o, rho_nph, star.gp, old.p, dt, False, small_dt_flag)
