@@ -255,3 +255,38 @@ def test_nodal_apply_factorized_matches_boxsum_form():
         a_old = boxsum_apply(phi, lev)
         scale = float(jnp.max(jnp.abs(a_old)))
         assert float(jnp.max(jnp.abs(a_new - a_old))) < 1e-13 * scale
+
+
+def test_cell_solver_with_beta_matches_fresh_build():
+    """CellSolver.with_beta (the constant-coefficient prebuild path)
+    must reproduce a freshly built solver exactly: same diags, same
+    apply, same solve result."""
+    import numpy as np
+    rng = np.random.RandomState(7)
+    shape = (8, 8, 8)
+    dx = (1 / 8.,) * 3
+    acoef = jnp.asarray(1.0 + rng.rand(*shape))
+    bcoef = []
+    for ax in range(3):
+        fshape = tuple(s + (1 if a == ax else 0)
+                       for a, s in enumerate(shape))
+        bcoef.append(jnp.asarray(0.5 + rng.rand(*fshape)))
+    bc = ((0, 1, 2), (0, 2, 1))
+    dt = 0.037
+    fresh = mg.CellSolver(dx, bc[0], bc[1], alpha=1.0, beta=dt,
+                          acoef=acoef, bcoef=tuple(bcoef))
+    proto = mg.CellSolver(dx, bc[0], bc[1], alpha=1.0, beta=1.0,
+                          acoef=acoef, bcoef=tuple(bcoef))
+    rescaled = proto.with_beta(dt)
+    for d1, d2 in zip(fresh.diags, rescaled.diags):
+        np.testing.assert_allclose(np.asarray(d1), np.asarray(d2),
+                                   rtol=1e-13)
+    x = jnp.asarray(rng.randn(*shape))
+    np.testing.assert_allclose(
+        np.asarray(mg.cell_apply(x, fresh.levels[0])),
+        np.asarray(mg.cell_apply(x, rescaled.levels[0])), rtol=1e-13)
+    b = jnp.asarray(rng.randn(*shape))
+    xa, ra, ia = fresh.solve(b, rtol=1e-10, atol=1e-13)
+    xb, rb, ib = rescaled.solve(b, rtol=1e-10, atol=1e-13)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb),
+                               rtol=1e-9, atol=1e-11)
