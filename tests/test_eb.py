@@ -97,7 +97,12 @@ max_step = 60
     interior = fluid & (r2 < 0.6)   # away from the EB wall
     err = np.abs(wc - exact)[interior]
     rel = err.max() / exact.max()
-    assert rel < 0.1, f"relative error {rel}"
+    # round-2 (exact octant nodal projection + centroid MOL) measures
+    # 5.3% here, was ~10% with the vfrac-weighted projection; the
+    # residual error is the first-order EB diffusion wall drag
+    assert rel < 0.07, f"relative error {rel}"
+    rel_all = np.abs(wc - exact)[fluid].max() / exact.max()
+    assert rel_all < 0.12, f"all-fluid relative error {rel_all}"
     # no-slip held: velocity small near the wall
     nearwall = fluid & (r2 > 0.9)
     assert np.abs(wc[nearwall]).max() < 0.35 * exact.max()
