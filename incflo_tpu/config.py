@@ -112,6 +112,9 @@ class IncfloConfig:
     diff_mg_rtol: float = 1.0e-11
     diff_mg_atol: float = 1.0e-14
     diff_mg_maxiter: int = 100
+    tensor_mg_rtol: float = 1.0e-11
+    tensor_mg_atol: float = 1.0e-14
+    tensor_mg_maxiter: int = 100
 
     # I/O
     plot_file: str = "plt"
@@ -314,6 +317,14 @@ class IncfloConfig:
         sdiff = pp.scoped("scalar_diffusion")
         c.diff_mg_rtol = float(sdiff.query("mg_rtol", 1.0e-11))
         c.diff_mg_atol = float(sdiff.query("mg_atol", 1.0e-14))
+        c.diff_mg_maxiter = int(sdiff.query("mg_max_iter", 100))
+        # the tensor (velocity) solve reads its own scope
+        # (reference DiffusionTensorOp::readParameters,
+        # src/diffusion/DiffusionTensorOp.cpp:80-98)
+        tdiff = pp.scoped("tensor_diffusion")
+        c.tensor_mg_rtol = float(tdiff.query("mg_rtol", 1.0e-11))
+        c.tensor_mg_atol = float(tdiff.query("mg_atol", 1.0e-14))
+        c.tensor_mg_maxiter = int(tdiff.query("mg_max_iter", 100))
 
         # I/O ------------------------------------------------------------
         c.check_file = str(amr.query("check_file", "chk"))
@@ -460,13 +471,14 @@ def _plot_fields(amr: ParmParse, ndim: int) -> Tuple[str, ...]:
     (reference init.cpp:174-222)."""
     defaults = {
         "velx": 1, "vely": 1, "velz": 1, "gpx": 1, "gpy": 1, "gpz": 1,
-        "rho": 1, "tracer": 1, "p": 0, "macphi": 0, "eta": 0, "vort": 0,
-        "strainrate": 0, "divu": 0, "vfrac": 0, "forcing": 0,
+        "rho": 1, "tracer": 1, "p": 0, "macphi": 0, "eta": 0, "vort": 1,
+        "strainrate": 0, "divu": 0, "vfrac": 1, "forcing": 0,
     }
+    sel = dict(defaults)
     if int(amr.query("plt_ccse_regtest", 0)) != 0:
-        sel = dict(defaults)
-    else:
-        sel = dict(defaults)
+        # regtest resets the defaults (notably vort/vfrac -> 0), then the
+        # plt_* queries below may still override (init.cpp:174-216)
+        sel.update({"vort": 0, "vfrac": 0})
     for k in list(sel):
         sel[k] = int(amr.query(f"plt_{k}", sel[k]))
     if ndim == 2:

@@ -404,9 +404,18 @@ def eb_cc_derivative(q_g: jnp.ndarray, comp, axis: int, grid: Grid,
     conn_p = _axis_conn(eb, axis, +1) > 0.5
     conn_m = _axis_conn(eb, axis, -1) > 0.5
     cut = eb.cut > 0.5
-    one_sided = jnp.where(jnp.logical_and(cut, ~conn_p), backward,
-                          jnp.where(jnp.logical_and(cut, ~conn_m),
-                                    forward, central))
+    # each one-sided stencil needs the OPPOSITE side connected 2 deep;
+    # an isolated sliver (both sides covered) gets derivative 0 rather
+    # than a stencil through covered-cell garbage
+    one_sided = jnp.where(jnp.logical_and(cut, jnp.logical_and(~conn_p,
+                                                               conn_m)),
+                          backward,
+                          jnp.where(jnp.logical_and(
+                              cut, jnp.logical_and(~conn_m, conn_p)),
+                              forward, central))
+    one_sided = jnp.where(jnp.logical_and(cut, jnp.logical_and(~conn_p,
+                                                               ~conn_m)),
+                          0.0, one_sided)
     return one_sided * eb.fluid
 
 

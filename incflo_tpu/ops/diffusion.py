@@ -367,8 +367,10 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
     EB: conservative cut-cell form (rho*vfrac - dt[div(ap eta grad) -
     wall drag]) u = rho*vfrac u* with first-order no-slip EB walls."""
     dtype = vel.dtype
-    rtol = cfg.diff_mg_rtol if rtol is None else rtol
-    atol = cfg.diff_mg_atol if atol is None else atol
+    # the velocity system is the reference's DiffusionTensorOp; it reads
+    # MG knobs from the tensor_diffusion.* scope (DiffusionTensorOp.cpp:80-98)
+    rtol = cfg.tensor_mg_rtol if rtol is None else rtol
+    atol = cfg.tensor_mg_atol if atol is None else atol
     if eb is not None:
         from incflo_tpu.ops.stencil import inner
         eta_cell = inner(eta_g1, 1, grid.ndim)
@@ -438,7 +440,7 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
         # paying for the V-cycle PCG (lazily skipped inside solve()).
         out, res, it = solver.solve_inhom(rhs, bvals, x0=vel, rtol=rtol,
                                           atol=atol,
-                                          maxiter=cfg.diff_mg_maxiter,
+                                          maxiter=cfg.tensor_mg_maxiter,
                                           presmooth=4)
         if tensor:
             # The remaining CROSS coupling d_d(eta d_c u_d), c != d, is
@@ -453,7 +455,7 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
                               grid, ng, grow_fn, grow_hom_fn, eb,
                               tol=jnp.maximum(rtol * mg._maxnorm(rhs),
                                               atol),
-                              maxiter=cfg.diff_mg_maxiter)
+                              maxiter=cfg.tensor_mg_maxiter)
     else:
         comps = []
         for c in range(grid.ndim):
@@ -466,7 +468,7 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
             x, res, it = solver.solve_inhom(rhs, _vb(c),
                                             x0=vel[..., c], rtol=rtol,
                                             atol=atol,
-                                            maxiter=cfg.diff_mg_maxiter,
+                                            maxiter=cfg.tensor_mg_maxiter,
                                             presmooth=4)
             comps.append(x)
         out = jnp.stack(comps, axis=-1)

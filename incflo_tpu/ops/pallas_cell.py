@@ -118,6 +118,9 @@ def enabled() -> bool:
     import os
     if os.environ.get("INCFLO_PALLAS_CELL", "1") != "1":
         return False
+    from incflo_tpu.ops import pallas_guard
+    if pallas_guard.sharded():
+        return False   # whole-array kernel would gather a sharded operand
     if INTERPRET:
         return True
     return jax.default_backend() in ("tpu", "axon")

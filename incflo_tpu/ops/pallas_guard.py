@@ -1,0 +1,22 @@
+"""Process-global guard for Pallas kernel dispatch under sharding.
+
+The fused MG smoother kernels are whole-array `pallas_call`s: feeding
+them a GSPMD-sharded operand would force XLA to all-gather the full
+array onto every device (silently destroying the domain decomposition)
+or fail to partition.  Sharding is data-driven (jit propagates it from
+the inputs), so the operand's placement is NOT visible at trace time --
+drivers that shard the simulation state flip this flag instead
+(parallel.mesh.sim_state_shardings / shard_sim_state), and every Pallas
+`enabled()` consults it.
+"""
+
+_sharded = False
+
+
+def set_sharded(flag: bool = True) -> None:
+    global _sharded
+    _sharded = bool(flag)
+
+
+def sharded() -> bool:
+    return _sharded

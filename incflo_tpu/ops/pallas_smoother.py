@@ -151,6 +151,9 @@ def _rb_kernel(TBx, ny, nz, dxinv2, alpha, beta, bc_y, bc_z,
 def supported(x, lev) -> bool:
     if not HAVE_PALLAS or x.ndim != 3 or lev.ebc is not None:
         return False
+    from incflo_tpu.ops import pallas_guard
+    if pallas_guard.sharded():
+        return False   # whole-array kernel would gather a sharded operand
     if x.dtype != jnp.float32 and not INTERPRET:
         return False   # Mosaic TPU has no f64
     nx, ny, nz = x.shape

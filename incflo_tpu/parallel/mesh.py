@@ -53,6 +53,10 @@ def level_specs(grid_ndim: int, mesh: Mesh) -> LevelState:
 
 
 def sim_state_shardings(state: SimState, mesh: Mesh) -> SimState:
+    if np.prod(mesh.devices.shape) > 1:
+        # whole-array Pallas kernels must not see sharded operands
+        from incflo_tpu.ops import pallas_guard
+        pallas_guard.set_sharded(True)
     ndim = state.level.density.ndim
     lvl = level_specs(ndim, mesh)
     rep = P()

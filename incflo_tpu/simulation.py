@@ -445,8 +445,13 @@ class Simulation:
 
         # warm start: p is last step's phi (pressure varies slowly)
         phi0 = None if incremental else p
+        # the exact octant-lattice solve has no coarse-fine Dirichlet
+        # threading; a slab-patch fine level over an EB deck (nodal_dvals
+        # set) takes the legacy vfrac path, whose solver honors
+        # dirichlet_vals, instead of silently dropping the CF closure
         use_exact_eb = (self.eb is not None
-                        and self.eb.vfrac_oct is not None)
+                        and self.eb.vfrac_oct is not None
+                        and nodal_dvals is None)
         if use_exact_eb:
             # solve the projection ON the 2x octant lattice: the regular
             # variable-sigma nodal solver with sigma = sigma*octfrac IS

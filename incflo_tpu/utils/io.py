@@ -77,6 +77,12 @@ def write_checkpoint(path: str, s: SimState, cfg: IncfloConfig):
                  **{k: np.asarray(v) for k, v in fields.items()})
         return
 
+    # The manifest lists only THIS process's addressable shards; with
+    # multiple hosts each would clobber the others' Shards.json.  Scope
+    # the format to single-process until a manifest merge exists.
+    import jax as _jax
+    assert _jax.process_count() == 1, \
+        "sharded checkpoint format is single-process only"
     manifest = {"format": 1, "fields": {}}
     payloads: Dict[str, Dict[str, np.ndarray]] = {}
     for name, arr in fields.items():
@@ -108,6 +114,7 @@ def _read_field_shards(path, name, meta, dtype, npz_cache, region=None):
         region = tuple(slice(0, n) for n in gshape)
     rshape = tuple(sl.stop - sl.start for sl in region)
     out = np.empty(rshape, dtype)
+    covered = np.zeros(rshape, bool)
     for e in meta["entries"]:
         start = e["start"]
         shp = e["shape"]
@@ -126,6 +133,12 @@ def _read_field_shards(path, name, meta, dtype, npz_cache, region=None):
         npz = npz_cache.setdefault(
             e["file"], np.load(os.path.join(path, e["file"])))
         out[tuple(dst_sl)] = npz[name][tuple(src_sl)]
+        covered[tuple(dst_sl)] = True
+    if not covered.all():
+        raise ValueError(
+            f"checkpoint field '{name}': manifest entries do not cover "
+            f"the requested region (missing {int((~covered).sum())} of "
+            f"{covered.size} elements)")
     return out
 
 

@@ -99,3 +99,50 @@ def test_background_pressure_exclusive():
 def test_cfl_validation():
     with pytest.raises(ValueError):
         IncfloConfig.from_text(TGV_2D.replace("cfl = 0.45", "cfl = 0.9"))
+
+
+def test_tensor_diffusion_mg_knobs():
+    """tensor_diffusion.* scope feeds the velocity (tensor) solve
+    (reference DiffusionTensorOp::readParameters)."""
+    from incflo_tpu.parmparse import ParmParse
+    from incflo_tpu.config import IncfloConfig
+    pp = ParmParse.from_text("""
+amr.n_cell = 8 8
+geometry.prob_lo = 0. 0.
+geometry.prob_hi = 1. 1.
+geometry.is_periodic = 1 1
+incflo.probtype = 3
+tensor_diffusion.mg_rtol = 1.e-7
+tensor_diffusion.mg_atol = 1.e-9
+tensor_diffusion.mg_max_iter = 33
+scalar_diffusion.mg_rtol = 1.e-6
+scalar_diffusion.mg_max_iter = 44
+""")
+    c = IncfloConfig.from_parmparse(pp)
+    assert c.tensor_mg_rtol == 1.0e-7
+    assert c.tensor_mg_atol == 1.0e-9
+    assert c.tensor_mg_maxiter == 33
+    assert c.diff_mg_rtol == 1.0e-6
+    assert c.diff_mg_maxiter == 44
+
+
+def test_plt_ccse_regtest_reset_then_override():
+    """plt_ccse_regtest resets vort/vfrac to 0 (defaults are 1), and
+    explicit plt_* queries still override afterwards (init.cpp:174-216)."""
+    from incflo_tpu.parmparse import ParmParse
+    from incflo_tpu.config import IncfloConfig
+    base = """
+amr.n_cell = 8 8
+geometry.prob_lo = 0. 0.
+geometry.prob_hi = 1. 1.
+geometry.is_periodic = 1 1
+incflo.probtype = 3
+"""
+    c = IncfloConfig.from_parmparse(ParmParse.from_text(base))
+    assert "vort" in c.plt_fields and "vfrac" in c.plt_fields
+    c = IncfloConfig.from_parmparse(ParmParse.from_text(
+        base + "amr.plt_ccse_regtest = 1\n"))
+    assert "vort" not in c.plt_fields and "vfrac" not in c.plt_fields
+    c = IncfloConfig.from_parmparse(ParmParse.from_text(
+        base + "amr.plt_ccse_regtest = 1\namr.plt_vort = 1\n"))
+    assert "vort" in c.plt_fields and "vfrac" not in c.plt_fields

@@ -118,3 +118,29 @@ def test_sharded_state_is_actually_distributed(mesh8):
     vel = s_sh.level.velocity
     assert len(vel.sharding.device_set) == 8
     assert not vel.sharding.is_fully_replicated
+
+
+def test_sharded_mode_disables_pallas(mesh8):
+    """Whole-array Pallas kernels must not dispatch on sharded operands:
+    building shardings for a multi-device mesh flips the global guard and
+    every Pallas enabled() then reports False (jnp fallback)."""
+    from incflo_tpu.ops import pallas_guard, pallas_cell, pallas_nodal
+    from incflo_tpu.ops import pallas_smoother
+    cfg = _cfg(godunov=True)
+    sim = Simulation(cfg)
+    s0 = sim.init_state()
+    prev = pallas_guard.sharded()
+    try:
+        pallas_guard.set_sharded(False)
+        pmesh.sim_state_shardings(s0, mesh8)
+        assert pallas_guard.sharded()
+        assert not pallas_cell.enabled()
+        assert not pallas_nodal.enabled()
+
+        class _Lev:
+            ebc = None
+        import jax.numpy as jnp
+        assert not pallas_smoother.supported(
+            jnp.zeros((8, 16, 8), jnp.float32), _Lev())
+    finally:
+        pallas_guard.set_sharded(prev)
