@@ -86,6 +86,9 @@ class IncfloConfig:
     # diffusion
     diff_type: DiffusionType = DiffusionType.Implicit
     use_tensor_solve: bool = True
+    # EB no-slip wall flux order: 2 = deferred-correction Taylor stencil
+    # (matches MLEBTensorOp accuracy), 1 = diagonal drag only
+    eb_wall_order: int = 2
     use_tensor_correction: bool = False
 
     # rheology
@@ -261,6 +264,7 @@ class IncfloConfig:
         c.diff_type = DiffusionType(dt_i)
 
         c.use_tensor_solve = bool(inc.query("use_tensor_solve", True))
+        c.eb_wall_order = int(inc.query("eb_wall_order", 2))
         c.use_tensor_correction = bool(inc.query("use_tensor_correction", False))
         if c.use_tensor_solve and c.use_tensor_correction:
             raise ValueError("cannot have both use_tensor_solve and use_tensor_correction")

@@ -270,6 +270,9 @@ class EBData:
     # MLNodeLaplacian's EB stencil integration,
     # incflo_apply_nodal_projection.cpp:134-153)
     vfrac_oct: Optional[np.ndarray] = None
+    # distance (physical) from the fluid centroid to the EB wall along
+    # the normal; 0 outside cut cells (second-order wall stencils)
+    wall_dist: Optional[np.ndarray] = None
     all_regular: bool = False
 
     @property
@@ -305,7 +308,13 @@ def _simplex_fraction(corner_phi: np.ndarray, nd: int) -> np.ndarray:
         term = np.maximum(0.0, -phi_s) ** nd
         vol = vol + ((-1.0) ** sum(s)) * term
     vol = vol / (math.factorial(nd) * np.prod(absg, axis=-1))
-    return np.clip(vol, 0.0, 1.0)
+    vol = np.clip(vol, 0.0, 1.0)
+    # uniform-sign boxes are exactly full/empty: the eps-guarded plane
+    # formula returns ~0.99x garbage when a gradient component vanishes
+    # (axis-aligned geometries), minting spurious cut cells
+    all_neg = (corner_phi < 0.0).all(axis=axes)
+    all_pos = (corner_phi > 0.0).all(axis=axes)
+    return np.where(all_neg, 1.0, np.where(all_pos, 0.0, vol))
 
 
 def _box_fraction_refined(node_phi: np.ndarray, s: int, nd: int) -> np.ndarray:
@@ -451,7 +460,11 @@ def compute_eb_data(phi_if: IF, grid: Grid, refine: int = 4) -> EBData:
         a = afrac[d]
         lo = np.take(a, range(0, n[d]), axis=d)
         hi = np.take(a, range(1, n[d] + 1), axis=d)
-        eb_vec[..., d] = lo - hi
+        # divergence theorem over the fluid region:
+        # A_eb n_d = -(A_hi - A_lo) * V/dx_d with n pointing into the
+        # BODY; negate so the stored normal points INTO THE FLUID
+        # (the wall-gradient stencils differentiate along it)
+        eb_vec[..., d] = hi - lo
     mag = np.sqrt((eb_vec ** 2).sum(-1))
     eb_area = mag
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -460,6 +473,31 @@ def compute_eb_data(phi_if: IF, grid: Grid, refine: int = 4) -> EBData:
 
     # fluid centroid per cell (refined subcell-weighted)
     centroid = _centroids(node_phi, s, nd, vfrac)
+
+    # distance from the fluid centroid to the EB wall along the normal
+    # (physical units): first-order level-set estimate |phi|/|grad phi|
+    # evaluated at the fluid centroid.  Feeds the Dirichlet wall-flux
+    # stencil in ops/diffusion.py (the reference gets the equivalent
+    # geometry from AMReX's MLEBTensorOp stencil assembly).
+    wall_dist = None
+    if s % 2 == 0:
+        h = s // 2
+        ctr = np.ix_(*[np.arange(n[d]) * s + h for d in range(nd)])
+        phi_c = node_phi[ctr]
+        grad = np.zeros(n + (nd,))
+        for d in range(nd):
+            idx = [np.arange(n[d2]) * s + h for d2 in range(nd)]
+            idx_hi, idx_lo = list(idx), list(idx)
+            idx_hi[d] = idx[d] + h
+            idx_lo[d] = idx[d] - h
+            grad[..., d] = (node_phi[np.ix_(*idx_hi)]
+                            - node_phi[np.ix_(*idx_lo)]) / dx[d]
+        phi_fc = phi_c + sum(grad[..., d] * centroid[..., d] * dx[d]
+                             for d in range(nd))
+        gmag = np.sqrt((grad ** 2).sum(-1))
+        wall_dist = np.where(
+            flags == CUT,
+            np.maximum(-phi_fc, 0.0) / np.maximum(gmag, 1e-300), 0.0)
 
     if vfrac_oct is not None:
         # consistency with the snapped flags: covered cells have no fluid
@@ -472,7 +510,7 @@ def compute_eb_data(phi_if: IF, grid: Grid, refine: int = 4) -> EBData:
     return EBData(vfrac=vfrac, afrac=afrac, flags=flags, eb_area=eb_area,
                   eb_normal=eb_normal, centroid=centroid,
                   face_cent=face_cent, vfrac_oct=vfrac_oct,
-                  all_regular=False)
+                  wall_dist=wall_dist, all_regular=False)
 
 
 def _face_shape(n, d):

@@ -47,6 +47,12 @@ class EBArrays(NamedTuple):
     # octant (2x-lattice) fluid fractions: integration data of the exact
     # cut-cell nodal FEM operator (multigrid.eb_nodal_apply)
     vfrac_oct: Optional[jnp.ndarray] = None
+    # Dirichlet wall-stencil geometry (ops/diffusion._eb_wall_coef):
+    # physical centroid-to-wall distance, |A_eb|/V, and unit normal
+    # (into the fluid) per cut cell
+    wall_dist: Optional[jnp.ndarray] = None
+    area_ov: Optional[jnp.ndarray] = None
+    eb_normal: Optional[jnp.ndarray] = None
 
 
 def _connectivity(eb: EBData, grid: Grid) -> Tuple[np.ndarray, list]:
@@ -259,7 +265,25 @@ def build_eb_arrays(eb: EBData, grid: Grid, dtype) -> EBArrays:
         lsq_minv_g1=mk(lsq_minv),
         near_g1=mk(near_g1),
         vfrac_oct=mk(eb.vfrac_oct) if eb.vfrac_oct is not None else None,
+        wall_dist=mk(eb.wall_dist) if eb.wall_dist is not None else None,
+        area_ov=mk(_area_over_volume(eb, grid)),
+        eb_normal=mk(eb.eb_normal),
     )
+
+
+def _area_over_volume(eb: EBData, grid: Grid) -> np.ndarray:
+    """|A_eb| / V_cell (physical 1/length) from the divergence theorem:
+    A_eb n_d = (afrac_lo - afrac_hi)_d * V/dx_d, exact for planar cuts
+    including anisotropic dx."""
+    nd = grid.ndim
+    n = grid.n_cell
+    s = np.zeros(n)
+    for d in range(nd):
+        a = eb.afrac[d]
+        lo = np.take(a, range(0, n[d]), axis=d)
+        hi = np.take(a, range(1, n[d] + 1), axis=d)
+        s = s + ((lo - hi) / grid.dx[d]) ** 2
+    return np.sqrt(s)
 
 
 def _roll_nbr(a: jnp.ndarray, off, grid: Grid):

@@ -24,6 +24,17 @@ inline double sq(double v) { return v * v; }
 // Fraction of the unit box where the least-squares plane of the corner
 // values is negative (exact for linear phi).
 inline double plane_fraction_3d(const double c[8]) {
+    // uniform-sign sub-boxes are exactly full/empty; the eps-guarded
+    // plane formula below returns ~0.99x garbage when one gradient
+    // component vanishes (e.g. an axis-aligned cylinder), minting
+    // spurious cut cells deep inside the fluid
+    double mn = c[0], mx = c[0];
+    for (int i = 1; i < 8; ++i) {
+        mn = std::min(mn, c[i]);
+        mx = std::max(mx, c[i]);
+    }
+    if (mx <= 0.0) return 1.0;
+    if (mn >= 0.0) return 0.0;
     double mean = 0.0;
     for (int i = 0; i < 8; ++i) mean += c[i];
     mean *= 0.125;
@@ -47,6 +58,10 @@ inline double plane_fraction_3d(const double c[8]) {
 }
 
 inline double plane_fraction_2d(const double c[4]) {
+    double mn = std::min(std::min(c[0], c[1]), std::min(c[2], c[3]));
+    double mx = std::max(std::max(c[0], c[1]), std::max(c[2], c[3]));
+    if (mx <= 0.0) return 1.0;
+    if (mn >= 0.0) return 0.0;
     double mean = 0.25 * (c[0] + c[1] + c[2] + c[3]);
     double gx = 0.5 * ((c[2] + c[3]) - (c[0] + c[1]));
     double gy = 0.5 * ((c[1] + c[3]) - (c[0] + c[2]));

@@ -105,21 +105,73 @@ def tracer_bvals(cfg: IncfloConfig, comp: int, dtype) -> Dict:
 # incflo_diffusion.cpp:235-283 + domain-face fixup :285-359)
 # ---------------------------------------------------------------------
 
-def eta_to_faces(eta_g1: jnp.ndarray, grid: Grid) -> List[jnp.ndarray]:
+def eta_to_faces(eta_g1: jnp.ndarray, grid: Grid, eb=None
+                 ) -> List[jnp.ndarray]:
     """eta grown by 1 -> arithmetic average on all faces; on non-periodic
     domain faces copy the adjacent interior cell value (the reference's
-    fixup_eta_on_domain_faces)."""
+    fixup_eta_on_domain_faces).
+
+    Under EB the face value is additionally interpolated to the FACE
+    FLUID CENTROID by bilinear combination of transverse-neighbor face
+    averages weighted by the face-centroid offsets (the reference's
+    EB_interp_CellCentroid_to_FaceCentroid path in
+    average_velocity_eta_to_faces, incflo_diffusion.cpp:235-283) --
+    second-order consistency of cut-face viscous fluxes."""
+    import itertools
+    nd = grid.ndim
     out = []
-    for d in range(grid.ndim):
-        e = eta_g1
-        for ax in range(grid.ndim):
-            if ax != d:
-                e = window(e, ax, 1, 1)
-        face = 0.5 * (window(e, d, 0, 1) + window(e, d, 1, 0))
+    for d in range(nd):
+        # face averages with one transverse ghost (for centroid shifts)
+        face_g = 0.5 * (window(eta_g1, d, 0, 1) + window(eta_g1, d, 1, 0))
+        t_axes = [a for a in range(nd) if a != d]
+
+        def tint(a, skip=()):
+            for ax in t_axes:
+                if ax not in skip:
+                    a = window(a, ax, 1, 1)
+            return a
+
+        if eb is not None and eb.face_cent:
+            fc = eb.face_cent[d]
+
+            def fshift(sgns):
+                """face_g shifted by sgns[ax] on each transverse axis,
+                interior elsewhere -> interior face shape."""
+                a = face_g
+                for ax in t_axes:
+                    s = sgns.get(ax, 0)
+                    a = window(a, ax, 1 + s, 1 - s)
+                return a
+
+            F0 = fshift({})
+            face = jnp.zeros_like(F0)
+            for picks in itertools.product((0, 1), repeat=len(t_axes)):
+                wgt = jnp.ones_like(F0)
+                chosen = [ax for ax, p in zip(t_axes, picks) if p]
+                for ax, p in zip(t_axes, picks):
+                    c = fc[..., ax]
+                    wgt = wgt * (jnp.abs(c) if p else 1.0 - jnp.abs(c))
+                if chosen:
+                    # select the neighbor toward sign(c) per chosen axis
+                    term = jnp.zeros_like(F0)
+                    for sgns in itertools.product((-1, 1),
+                                                  repeat=len(chosen)):
+                        sel = jnp.ones_like(F0, bool)
+                        for ax, s in zip(chosen, sgns):
+                            c = fc[..., ax]
+                            sel = jnp.logical_and(
+                                sel, (c > 0) if s > 0 else (c <= 0))
+                        term = jnp.where(
+                            sel, fshift(dict(zip(chosen, sgns))), term)
+                else:
+                    term = F0
+                face = face + wgt * term
+        else:
+            face = tint(face_g)
         if not grid.periodic[d]:
-            inner = window(e, d, 1, 1)
-            face = _set_face(face, d, 0, _face_slab(inner, d, 0))
-            face = _set_face(face, d, -1, _face_slab(inner, d, -1))
+            cells = tint(window(eta_g1, d, 1, 1))
+            face = _set_face(face, d, 0, _face_slab(cells, d, 0))
+            face = _set_face(face, d, -1, _face_slab(cells, d, -1))
         out.append(face)
     return out
 
@@ -147,10 +199,48 @@ def _eb_faces(eta_faces, eb):
 
 
 def _eb_wall_coef(eta_cell, grid, eb):
-    """EB no-slip Dirichlet wall coefficient: flux = eta*A_eb*(0-u)/(dx/2)
-    => L += 2*eta*eb_area/dx^2 * u (first-order wall stencil)."""
-    dx2 = sum(1.0 / (d * d) for d in grid.dx) / grid.ndim
-    return 2.0 * eta_cell * eb.eb_area * dx2
+    """EB no-slip Dirichlet wall coefficient (diagonal term):
+    flux/V = eta * (A_eb/V) * (0 - u_c)/d  with d the CENTROID-to-wall
+    distance along the EB normal (geometry-aware wall stencil; the
+    reference gets the equivalent from MLEBTensorOp's EB-Dirichlet
+    stencil assembly, src/diffusion/DiffusionTensorOp.cpp:32-43).
+    Falls back to the flat first-order d = dx/2 when the geometry build
+    supplied no wall distances."""
+    if eb.wall_dist is None or eb.area_ov is None:
+        dx2 = sum(1.0 / (d * d) for d in grid.dx) / grid.ndim
+        return 2.0 * eta_cell * eb.eb_area * dx2
+    h = sum(grid.dx) / grid.ndim
+    # clamp: slivers whose centroid sits on the wall must not produce
+    # unbounded diagonals (vfrac guard handles their stability)
+    d = jnp.clip(eb.wall_dist, 0.05 * h, None)
+    return eta_cell * eb.area_ov / d * eb.cut
+
+
+def _eb_wall_correction(u_g, eta_cell, ebc, grid, eb, ng):
+    """Second-order EB wall-flux deferred correction (per unit volume).
+
+    Taylor at the wall (u_wall = 0): dudn|_wall = 2 u_c/d - (n.grad u)|_c
+    + O(d^2) -- the u_c/d and centroid-gradient first-order errors cancel
+    exactly.  The implicit operator carries the first-order drag
+    L1 = ebc*u = eta A/(V d) u; the true row is
+    L2 = eta A/V (2 u/d - n.grad u), so the rhs correction that makes
+    the solve second-order is  -(L2 - L1)(u_prev) =
+    eta A/V (n.grad u_prev) - ebc u_prev,  evaluated on the previous
+    iterate (reference discretization: MLEBTensorOp EB-Dirichlet flux
+    stencils, src/diffusion/DiffusionTensorOp.cpp:32-43)."""
+    from incflo_tpu.eb.ops import eb_cc_derivative
+    nd = grid.ndim
+    ncomp = u_g.shape[-1]
+    aov = eta_cell * eb.area_ov
+    out = []
+    for c in range(ncomp):
+        dudn = 0.0
+        for ax in range(nd):
+            dudn = dudn + eb.eb_normal[..., ax] * eb_cc_derivative(
+                u_g, c, ax, grid, ng, eb)
+        u_c = u_g[(slice(ng, -ng),) * nd + (c,)]
+        out.append(aov * dudn - ebc * u_c)
+    return jnp.stack(out, axis=-1) * eb.cut[..., None]
 
 
 def compute_laps(tracer: jnp.ndarray, eta_faces_per_comp, cfg: IncfloConfig,
@@ -442,6 +532,18 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
                                           atol=atol,
                                           maxiter=cfg.tensor_mg_maxiter,
                                           presmooth=4)
+        if (eb is not None and eb.wall_dist is not None
+                and grow_fn is not None and cfg.eb_wall_order == 2):
+            # second-order EB no-slip wall: one deferred-correction
+            # re-solve with the wall flux upgraded from the first-order
+            # drag to the Taylor-exact 2u/d - n.grad(u) stencil
+            corr = _eb_wall_correction(grow_fn(out), eta_cell, ebc,
+                                       grid, eb, ng)
+            rhs = rhs + dt_diff * corr
+            out, res, it = solver.solve_inhom(rhs, bvals, x0=out,
+                                              rtol=rtol, atol=atol,
+                                              maxiter=cfg.tensor_mg_maxiter,
+                                              presmooth=4)
         if tensor:
             # The remaining CROSS coupling d_d(eta d_c u_d), c != d, is
             # converged by CG on the FULL tensor operator (SPD for

@@ -471,6 +471,14 @@ class GodunovScheme:
         use_mac_phi_in_godunov warm start (reference predict_*D.cpp:
         subtract 0.5*dt*gphi from the traces, add it back after the
         Riemann selection)."""
+        from incflo_tpu.ops import pallas_godunov as pg
+        if (gmacphi is None and not self.uft and pg.enabled()
+                and pg.supported(self.grid, vel_g.dtype)):
+            from incflo_tpu.ops.stencil import inner
+            vel = inner(vel_g, ng, self.nd)
+            forces = (inner(forces_g, 1, self.nd)
+                      if forces_g is not None else None)
+            return pg.predict(self.grid, vel, forces, dt, self.use_ppm)
         return self._predict(vel_g, forces_g, dt, ng, bcrecs, gmacphi)
 
     def _predict(self, vel_g, forces_g, dt, ng, bcrecs, gmacphi=None):
@@ -626,6 +634,15 @@ class GodunovScheme:
                is_velocity: bool) -> jnp.ndarray:
         """q_g grown by ng>=3; umac: interior face arrays (n+1 own axis).
         Returns dq/dt on the interior."""
+        from incflo_tpu.ops import pallas_godunov as pg
+        if (not self.uft and pg.enabled()
+                and pg.supported(self.grid, q_g.dtype)):
+            from incflo_tpu.ops.stencil import inner
+            q = inner(q_g, ng, self.nd)
+            forces = (inner(forces_g, 1, self.nd)
+                      if forces_g is not None else None)
+            return pg.advect(self.grid, q, umac, forces, dt,
+                             tuple(int(i) for i in iconserv), self.use_ppm)
         g = self.grid
         nd = self.nd
         ncomp = q_g.shape[-1]

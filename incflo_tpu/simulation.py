@@ -620,7 +620,7 @@ class Simulation:
 
         vel_g = self.grow_vel(vel_o, ng)
         eta_g1 = self._viscosity(vel_g, ng)
-        eta_faces = diffusion.eta_to_faces(eta_g1, grid)
+        eta_faces = diffusion.eta_to_faces(eta_g1, grid, eb=self.eb)
         tra_eta_faces = self._tracer_eta_faces()
 
         divtau_o = None
@@ -723,7 +723,7 @@ class Simulation:
 
         vel_g = self.grow_vel(star.velocity, ng)
         eta_g1 = self._viscosity(vel_g, ng)
-        eta_faces = diffusion.eta_to_faces(eta_g1, grid)
+        eta_faces = diffusion.eta_to_faces(eta_g1, grid, eb=self.eb)
         tra_eta_faces = self._tracer_eta_faces()
 
         divtau = None

@@ -97,15 +97,16 @@ max_step = 60
     interior = fluid & (r2 < 0.6)   # away from the EB wall
     err = np.abs(wc - exact)[interior]
     rel = err.max() / exact.max()
-    # round-2 (exact octant nodal projection + centroid MOL) measures
-    # 5.3% here, was ~10% with the vfrac-weighted projection; the
-    # residual error is the first-order EB diffusion wall drag
-    assert rel < 0.07, f"relative error {rel}"
+    # round-3 measures 3.25% with the second-order EB wall stencil
+    # (deferred-correction Taylor flux + centroid-distance drag +
+    # uniform-sign cut-cell fix); round 2 (first-order isotropic drag)
+    # was 5.3%, round 1 ~10%
+    assert rel < 0.045, f"relative error {rel}"
     rel_all = np.abs(wc - exact)[fluid].max() / exact.max()
-    assert rel_all < 0.12, f"all-fluid relative error {rel_all}"
+    assert rel_all < 0.06, f"all-fluid relative error {rel_all}"
     # no-slip held: velocity small near the wall
     nearwall = fluid & (r2 > 0.9)
-    assert np.abs(wc[nearwall]).max() < 0.35 * exact.max()
+    assert np.abs(wc[nearwall]).max() < 0.2 * exact.max()
 
 
 def test_eb_godunov_dispatches_to_mol():
