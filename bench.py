@@ -180,6 +180,11 @@ def _timed_run(sim, s, steps, donate):
 def _child_main():
     """One isolated measurement attempt; prints one JSON line."""
     import jax
+    cache = os.environ.get("INCFLO_JAX_CACHE",
+                           os.path.expanduser("~/.cache/incflo_tpu_xla"))
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     n = int(os.environ.get("INCFLO_BENCH_N", "128"))
     # 10-step batches: the warmup batch carries the run past the dt

@@ -194,31 +194,52 @@ class PatchSim(Simulation):
             + BCType.foextrap
         return bcs.grow(x, g, self._parent.grid, rec)
 
-    def set_context(self, parent_lvl: LevelState):
+    def set_context(self, parent_lvl: LevelState,
+                    parent_lvl_old: Optional[LevelState] = None):
         """Interpolate the parent level state into the patch halo and
         solver boundary values.  Runs at trace time inside the two-level
-        step; the stored arrays are tracers of that step."""
+        step; the stored arrays are tracers of that step.
+
+        parent_lvl_old, when given, feeds the STATE ghost fills (the
+        old-time convective stencils of the fine step read the parent's
+        old state, matching the reference's FillPatch at t_old --
+        incflo_fillpatch.cpp two-level old-time fill); the implicit-solve
+        closures (MAC/nodal/diffusion Dirichlet values) always come from
+        the just-advanced parent_lvl."""
         nd = self.grid.ndim
         ax = self.slab_axis
         lo = self.parent_lo
         npatch_c = self.grid.n_cell[ax] // 2
 
-        vel_full = self._interp_full(parent_lvl.velocity,
-                                     self._parent.grow_vel)
-        rho_full = self._interp_full(
-            parent_lvl.density[..., None],
+        ghost_src = parent_lvl_old if parent_lvl_old is not None \
+            else parent_lvl
+        vel_g_full = self._interp_full(ghost_src.velocity,
+                                       self._parent.grow_vel)
+        rho_g_full = self._interp_full(
+            ghost_src.density[..., None],
             lambda x, g: self._parent.grow_rho(x[..., 0], g)[..., None])
-        tra_full = self._interp_full(parent_lvl.tracer,
-                                     self._parent.grow_tra)
+        tra_g_full = self._interp_full(ghost_src.tracer,
+                                       self._parent.grow_tra)
+        if parent_lvl_old is not None:
+            vel_full = self._interp_full(parent_lvl.velocity,
+                                         self._parent.grow_vel)
+            rho_full = self._interp_full(
+                parent_lvl.density[..., None],
+                lambda x, g: self._parent.grow_rho(x[..., 0], g)[..., None])
+            tra_full = self._interp_full(parent_lvl.tracer,
+                                         self._parent.grow_tra)
+        else:
+            vel_full, rho_full, tra_full = (vel_g_full, rho_g_full,
+                                            tra_g_full)
         mac_full = self._interp_full(parent_lvl.mac_phi[..., None],
                                      self._grow_foex)
 
         self.vel_ev = PatchEV(self._base_evs[0], self.cf_interior,
-                              vel_full, NG_CTX)
+                              vel_g_full, NG_CTX)
         self.den_ev = PatchEV(self._base_evs[1], self.cf_interior,
-                              rho_full, NG_CTX)
+                              rho_g_full, NG_CTX)
         self.tra_ev = PatchEV(self._base_evs[2], self.cf_interior,
-                              tra_full, NG_CTX)
+                              tra_g_full, NG_CTX)
 
         # solver boundary values at the CF faces
         self._mac_bvals = {}
@@ -259,20 +280,7 @@ class PatchSim(Simulation):
             self._tra_bvals[(fax, side)] = face_val(tra_full)
 
         # nodal Dirichlet values: prolong the parent nodal p window
-        p = parent_lvl.p
-        sl = [slice(None)] * p.ndim
-        # parent p nodes spanning the patch: lo .. lo+npatch_c inclusive
-        # (periodic parent axes store unique nodes; wrap for the +1)
-        if self._parent.grid.periodic[ax]:
-            idx = jnp.arange(lo, lo + npatch_c + 1) \
-                % self._parent.grid.n_cell[ax]
-            pw = jnp.take(p, idx, axis=ax)
-        else:
-            sl[ax] = slice(lo, lo + npatch_c + 1)
-            pw = p[tuple(sl)]
-        per = list(self.grid.periodic)
-        per[ax] = False          # the slab axis window is bounded
-        pf = _nodal_prolong_window(pw, nd, per)
+        pf = self._interp_nodal_p(parent_lvl.p)
         self._nodal_dvals = {}
         for (fax, side) in self.cf_interior:
             n_f = pf.shape[fax]
@@ -350,7 +358,13 @@ class PatchSim(Simulation):
         ax = self.slab_axis
         lo = self.parent_lo
         npatch_c = self.grid.n_cell[ax] // 2
-        if self._parent.grid.periodic[ax]:
+        per = list(self.grid.periodic)
+        if per[ax]:
+            # slab covers the whole periodic axis: unique nodes, exact
+            # wraparound prolongation (a bounded window would mint an
+            # extra node row)
+            pw = p
+        elif self._parent.grid.periodic[ax]:
             idx = jnp.arange(lo, lo + npatch_c + 1) \
                 % self._parent.grid.n_cell[ax]
             pw = jnp.take(p, idx, axis=ax)
@@ -358,9 +372,64 @@ class PatchSim(Simulation):
             sl = [slice(None)] * p.ndim
             sl[ax] = slice(lo, lo + npatch_c + 1)
             pw = p[tuple(sl)]
-        per = list(self.grid.periodic)
-        per[ax] = False
         return _nodal_prolong_window(pw, nd, per)
+
+
+def compute_tags(cfg: IncfloConfig, rho: np.ndarray, grid: Grid,
+                 eb=None) -> np.ndarray:
+    """ErrorEst tags on one level (incflo_tagging.cpp:20-44; cut cells
+    forced per :133-140)."""
+    tags = np.zeros(rho.shape, bool)
+    if len(cfg.rhoerr) > 0:
+        tags |= rho > cfg.rhoerr[0]
+    if len(cfg.gradrhoerr) > 0:
+        thr = cfg.gradrhoerr[0]
+        for ax in range(rho.ndim):
+            d = np.abs(np.diff(rho, axis=ax))
+            pad = [(0, 1) if a == ax else (0, 0) for a in range(rho.ndim)]
+            tags |= np.pad(d, pad) > thr
+            pad = [(1, 0) if a == ax else (0, 0) for a in range(rho.ndim)]
+            tags |= np.pad(d, pad) > thr
+    if cfg.tag_region:
+        coords = [np.asarray(grid.cell_centers_1d(ax)).reshape(
+            [-1 if a == ax else 1 for a in range(grid.ndim)])
+            for ax in range(grid.ndim)]
+        inside = np.ones(grid.cell_shape, bool)
+        for ax in range(grid.ndim):
+            inside &= (coords[ax] >= cfg.tag_region_lo[ax]) \
+                & (coords[ax] <= cfg.tag_region_hi[ax])
+        tags |= inside
+    if eb is not None:
+        tags |= np.asarray(eb.cut) > 0.5
+    return tags
+
+
+def choose_patch_mode(cfg: IncfloConfig) -> str:
+    """Auto patch-mode selection for amr.max_level > 0 decks: 'slab'
+    (the production refinement path) when the INITIAL tags localize
+    along some axis -- a tagged-row fraction <= 1/2 leaves real savings
+    after block snapping + padding -- else 'dense' (whole-domain fine
+    advance).  An explicit amr.patch_mode in the deck wins."""
+    import jax.numpy as jnp
+    lvl = probs.init_fluid(cfg, cfg.grid, jnp.dtype(cfg.dtype))
+    tags = compute_tags(cfg, np.asarray(lvl.density), cfg.grid)
+    if cfg.eb_geometry not in ("", "all_regular", "null"):
+        # forced cut-cell tagging (incflo_tagging.cpp:133-140)
+        from incflo_tpu.eb import geometry as ebgeom
+        phi_if = ebgeom.make_eb_geometry(cfg.eb_geometry, cfg.pp, cfg.grid)
+        data = ebgeom.compute_eb_data(phi_if, cfg.grid)
+        if data.has_eb:
+            tags |= data.flags == ebgeom.CUT
+    if not tags.any():
+        return "dense"
+    best = 1.0
+    for ax in range(tags.ndim):
+        proj = tags
+        for a2 in sorted(range(tags.ndim), reverse=True):
+            if a2 != ax:
+                proj = proj.any(axis=a2)
+        best = min(best, float(proj.mean()))
+    return "slab" if best <= 0.5 else "dense"
 
 
 def _choose_slab(tags: np.ndarray, axis: int, n: int) -> Tuple[int, int]:
@@ -434,17 +503,15 @@ class SlabAMRSimulation:
         self.masks: List[Optional[np.ndarray]] = [None] * self.max_level
 
     # -- geometry of the hierarchy ------------------------------------
-    def _pick_axis(self) -> int:
-        """Axis along which the initial tags localize (fewest tagged
-        rows).  Gravity/stratified problems tag a band normal to the
-        last axis; default to it when nothing is tagged yet."""
-        cfg = self.cfg
-        lvl = probs.init_fluid(cfg, cfg.grid, self.dtype)
-        tags = self._tag_level0(np.asarray(lvl.density))
-        best_ax, best_frac = cfg.grid.ndim - 1, 1.1
-        for ax in range(cfg.grid.ndim):
+    def _best_axis(self, tags: np.ndarray) -> int:
+        """Axis along which the tags localize (fewest tagged rows).
+        Gravity/stratified problems tag a band normal to the last axis;
+        default to it when nothing is tagged yet."""
+        nd = tags.ndim
+        best_ax, best_frac = nd - 1, 1.1
+        for ax in range(nd):
             proj = tags
-            for a2 in sorted(range(tags.ndim), reverse=True):
+            for a2 in sorted(range(nd), reverse=True):
                 if a2 != ax:
                     proj = proj.any(axis=a2)
             frac = proj.mean() if proj.size else 1.0
@@ -452,32 +519,20 @@ class SlabAMRSimulation:
                 best_ax, best_frac = ax, frac
         return best_ax
 
-    def _tag_level0(self, rho: np.ndarray) -> np.ndarray:
+    def _pick_axis(self) -> int:
         cfg = self.cfg
-        tags = np.zeros(rho.shape, bool)
-        if len(cfg.rhoerr) > 0:
-            tags |= rho > cfg.rhoerr[0]
-        if len(cfg.gradrhoerr) > 0:
-            thr = cfg.gradrhoerr[0]
-            for ax in range(rho.ndim):
-                d = np.abs(np.diff(rho, axis=ax))
-                pad = [(0, 1) if a == ax else (0, 0)
-                       for a in range(rho.ndim)]
-                tags |= np.pad(d, pad) > thr
-                pad = [(1, 0) if a == ax else (0, 0)
-                       for a in range(rho.ndim)]
-                tags |= np.pad(d, pad) > thr
-        if self.cfg.tag_region:
-            g = self.cfg.grid
-            coords = [np.asarray(g.cell_centers_1d(ax)).reshape(
-                [-1 if a == ax else 1 for a in range(g.ndim)])
-                for ax in range(g.ndim)]
-            inside = np.ones(g.cell_shape, bool)
-            for ax in range(g.ndim):
-                inside &= (coords[ax] >= self.cfg.tag_region_lo[ax]) \
-                    & (coords[ax] <= self.cfg.tag_region_hi[ax])
-            tags |= inside
-        return tags
+        lvl = probs.init_fluid(cfg, cfg.grid, self.dtype)
+        return self._best_axis(
+            self._tag_level(np.asarray(lvl.density), self.sim0))
+
+    def _tag_level(self, rho: np.ndarray, parent_sim) -> np.ndarray:
+        """ErrorEst for the level refined NEXT above parent_sim
+        (reference incflo_tagging.cpp:20-44 + forced cut-cell tagging
+        :133-140).  Coordinates come from the PARENT level's grid (the
+        density array lives there -- L>=2 patches have their own
+        prob_lo/dx)."""
+        return compute_tags(self.cfg, rho, parent_sim.grid,
+                            eb=parent_sim.eb)
 
     def _build_level(self, lev: int, lo: int, hi: int):
         """(Re)build the PatchSim for level `lev` over parent cells
@@ -525,7 +580,7 @@ class SlabAMRSimulation:
         for lev in range(1, self.max_level + 1):
             parent_state = states[lev - 1]
             rho = np.asarray(parent_state.level.density)
-            tags = self._tag_level0(rho)
+            tags = self._tag_level(rho, self.sims[lev - 1])
             lo, hi = _choose_slab(tags, self.axis,
                                   self.sims[lev - 1].grid.n_cell[self.axis])
             ps = self._build_level(lev, lo, hi)
@@ -546,7 +601,7 @@ class SlabAMRSimulation:
 
     # -- advance ------------------------------------------------------
     def advance(self, state: PatchState) -> PatchState:
-        key = tuple(self.bounds[1:])
+        key = (self.axis,) + tuple(self.bounds[1:])
         fn = self._adv_cache.get(key)
         if fn is None:
             fn = jax.jit(self._advance_impl)
@@ -571,7 +626,10 @@ class SlabAMRSimulation:
             dt = jnp.minimum(dt, self.sims[lev].peek_dt(states[lev]))
         out = [self.sim0._advance_impl(states[0], dt_force=dt)]
         for lev in range(1, len(self.sims)):
-            self.sims[lev].set_context(out[lev - 1].level)
+            # new parent state closes the implicit solves; OLD parent
+            # state feeds the old-time convective ghost fills
+            self.sims[lev].set_context(out[lev - 1].level,
+                                       parent_lvl_old=states[lev - 1].level)
             out.append(self.sims[lev]._advance_impl(states[lev],
                                                     dt_force=dt))
         # two-way coupling: average the fine solution down into the
@@ -607,32 +665,47 @@ class SlabAMRSimulation:
     def regrid(self, state: PatchState) -> PatchState:
         """Recompute slab bounds from the current tags; rebuild levels
         whose bounds changed (new regions initialize from parent
-        interpolation; the overlap keeps the fine data)."""
+        interpolation; the overlap keeps the fine data).
+
+        The slab axis is RE-PICKED from the current level-0 tags; a
+        changed axis (or a rebuilt parent) rebuilds every deeper level
+        from parent interpolation -- their stored bounds are indices in
+        the OLD parent frame and must not be compared or overlap-copied
+        across frames (reference RemakeLevel semantics)."""
         states = list(state.levels)
+        tags0 = self._tag_level(np.asarray(states[0].level.density),
+                                self.sim0)
+        new_axis = self._best_axis(tags0)
+        parent_changed = new_axis != self.axis
+        if parent_changed:
+            self.axis = new_axis
+            self.bounds[0] = (0, self.base_grid.n_cell[self.axis])
         new_states = [states[0]]
         for lev in range(1, len(self.sims)):
             parent_state = new_states[lev - 1]
             rho = np.asarray(parent_state.level.density)
-            tags = self._tag_level0(rho)
+            tags = self._tag_level(rho, self.sims[lev - 1])
             n_par = self.sims[lev - 1].grid.n_cell[self.axis]
             lo, hi = _choose_slab(tags, self.axis, n_par)
             old_lo, old_hi = self.bounds[lev]
-            if (lo, hi) == (old_lo, old_hi):
+            if (lo, hi) == (old_lo, old_hi) and not parent_changed:
                 new_states.append(states[lev])
                 continue
             ps = self._build_level(lev, lo, hi)
-            ps._parent = self.sims[lev - 1]
             ps.set_context(parent_state.level)
             init = ps.init_from_parent(parent_state)
-            # keep the overlap from the old fine data
-            ov_lo, ov_hi = max(lo, old_lo), min(hi, old_hi)
-            if ov_hi > ov_lo:
-                init = _copy_overlap(init, states[lev], self.axis,
-                                     lo, old_lo, ov_lo, ov_hi)
+            # keep the overlap from the old fine data -- only when the
+            # parent frame is unchanged (indices are comparable)
+            if not parent_changed:
+                ov_lo, ov_hi = max(lo, old_lo), min(hi, old_hi)
+                if ov_hi > ov_lo:
+                    init = _copy_overlap(init, states[lev], self.axis,
+                                         lo, old_lo, ov_lo, ov_hi)
             self.sims[lev] = ps
             self.bounds[lev] = (lo, hi)
             self.masks[lev - 1] = self._mask_from_bounds(lev - 1, lo, hi)
             new_states.append(init)
+            parent_changed = True   # deeper levels live in this frame
         return PatchState(new_states)
 
 

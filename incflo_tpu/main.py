@@ -40,6 +40,14 @@ def run(argv):
     plat = os.environ.get("INCFLO_PLATFORM")
     if plat:
         jax.config.update("jax_platforms", plat)
+    # persistent executable cache: step programs (incl. Mosaic kernels)
+    # compile once per machine instead of once per process.
+    # INCFLO_JAX_CACHE="" disables; any path overrides the default.
+    cache = os.environ.get("INCFLO_JAX_CACHE",
+                           os.path.expanduser("~/.cache/incflo_tpu_xla"))
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if argv and argv[0] == "--describe":
         # build-info dump (reference main.cpp --describe / writeBuildInfo)
         import incflo_tpu
@@ -72,7 +80,15 @@ def run(argv):
     from incflo_tpu.simulation import Simulation
     from incflo_tpu.utils import io
 
-    if cfg.max_level > 0 and cfg.patch_mode == "slab":
+    patch_mode = cfg.patch_mode
+    if cfg.max_level > 0 and patch_mode == "":
+        # auto-select: slab patches are the production refinement path
+        # whenever the tags localize (reference AMR always refines
+        # tagged boxes; dense-fine is the explicit fallback)
+        from incflo_tpu import amr_patch
+        patch_mode = amr_patch.choose_patch_mode(cfg)
+        print(f"amr.patch_mode auto-selected: {patch_mode}")
+    if cfg.max_level > 0 and patch_mode == "slab":
         from incflo_tpu.amr_patch import SlabAMRSimulation
         amr = SlabAMRSimulation(cfg)
         sim = amr.sim0
@@ -99,7 +115,7 @@ def run(argv):
         def write_plot(path, s):
             io.write_plotfile(path, s, cfg, sim)
 
-    if cfg.max_level > 0 and cfg.patch_mode == "slab":
+    if cfg.max_level > 0 and patch_mode == "slab":
         def write_chk(path, s):
             io.write_checkpoint_patch(path, s, amr, cfg)
     else:
@@ -125,7 +141,7 @@ def run(argv):
     t0 = wallclock.time()
     if cfg.restart_file:
         print(f"Restarting from checkpoint {cfg.restart_file}")
-        if cfg.patch_mode == "slab" and cfg.max_level > 0:
+        if patch_mode == "slab" and cfg.max_level > 0:
             s = io.read_checkpoint_patch(cfg.restart_file, amr, cfg)
         else:
             s = io.read_checkpoint(cfg.restart_file, io_cfg, sim.dtype)
@@ -153,11 +169,30 @@ def run(argv):
     nsteps = 0
     # batch steps into one device dispatch when nothing needs a per-step
     # host sync (no verbose prints, no steady-state test, no time-based
-    # plotting / stop_time clamp checks).  Same pattern as a scanned
-    # training loop; removes the per-dispatch latency tax.
+    # plotting).  Same pattern as a scanned training loop; removes the
+    # per-dispatch latency tax.  stop_time decks batch too: the batch
+    # size is bounded by a conservative prediction of the dt-crossing
+    # (dt grows at most 1.1x/step -- compute_dt's growth limiter), so
+    # the in-step stop_time clamp only ever fires on single steps.
     can_batch = (amr is None and cfg.verbose <= 0 and not cfg.steady_state
-                 and cfg.stop_time < 0 and cfg.plot_per_exact <= 0
+                 and cfg.plot_per_exact <= 0
                  and cfg.plot_per_approx <= 0)
+
+    def _steps_to_stop(t, dt_now, limit):
+        """Largest k <= limit with t + sum_{i<=k} dt*1.1^i safely below
+        stop_time (conservative upper envelope of the next k dts)."""
+        if cfg.stop_time < 0:
+            return limit
+        if dt_now <= 0.0:
+            return 1
+        k, tt, dtk = 0, t, dt_now
+        while k < limit:
+            dtk *= 1.1
+            if tt + dtk >= cfg.stop_time * (1.0 - 1e-12):
+                break
+            tt += dtk
+            k += 1
+        return max(1, k)
 
     def _next_boundary(step):
         """Steps until the next cadence point (plot/check/KE/max_step)."""
@@ -182,8 +217,9 @@ def run(argv):
         if can_batch:
             # power-of-two batch sizes only: each distinct n is a separate
             # XLA compilation of the scanned step (expensive on TPU)
+            limit = _steps_to_stop(t, float(s.dt), min(_next_boundary(step), 16))
             nbatch = 1
-            while nbatch * 2 <= min(_next_boundary(step), 16):
+            while nbatch * 2 <= limit:
                 nbatch *= 2
         else:
             nbatch = 1

@@ -387,18 +387,24 @@ class CellSolver:
         if pc.enabled():
             batched = x.ndim == self.ndim + 1
             shape = x.shape[:-1] if batched else x.shape
+            fn = None
             if pc.supported(lev, shape, x.dtype):
+                fn = pc.smooth
+            elif pc.tiled_supported(lev, shape, x.dtype, int(n)):
+                # fine levels over the whole-VMEM budget: x-slab tiled
+                fn = pc.smooth_tiled
+            if fn is not None:
                 fhi = pc.face_hi_coefs(lev)
                 if batched:
-                    outs = [pc.smooth(x[..., c], b[..., c], diag[..., c],
-                                      tuple(f[..., c] for f in fhi),
-                                      lev, n, want_residual)
+                    outs = [fn(x[..., c], b[..., c], diag[..., c],
+                               tuple(f[..., c] for f in fhi),
+                               lev, n, want_residual)
                             for c in range(x.shape[-1])]
                     xs = jnp.stack([o[0] for o in outs], axis=-1)
                     rs = (jnp.stack([o[1] for o in outs], axis=-1)
                           if want_residual else None)
                     return xs, rs
-                return pc.smooth(x, b, diag, fhi, lev, n, want_residual)
+                return fn(x, b, diag, fhi, lev, n, want_residual)
 
         # relative guard: near-degenerate rows (tiny EB cut cells) get no
         # GS update instead of a 1/eps-amplified one
@@ -945,8 +951,10 @@ class NodalSolver:
         supported; jnp scan fallback elsewhere."""
         lev, inv = self.levels[li], self.dinvs[li]
         from incflo_tpu.ops import pallas_nodal
-        if pallas_nodal.enabled() and pallas_nodal.supported(
-                lev, x.shape, x.dtype):
+        if pallas_nodal.enabled() and (
+                pallas_nodal.supported(lev, x.shape, x.dtype)
+                or pallas_nodal.tiled_supported(lev, x.shape, x.dtype,
+                                                min(int(n), 2))):
             out = pallas_nodal.smooth(x, b, self._sigma_interior(li), inv,
                                       lev, n, want_residual)
             if out is not None:

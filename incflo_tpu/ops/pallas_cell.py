@@ -171,3 +171,142 @@ def smooth(x, b, diag, fhi, lev, nsweeps, want_residual=False):
         for ax in range(3))
     return _run(x, b, diag, fhi_scaled, int(nsweeps),
                 bool(want_residual), tuple(x.shape))
+
+
+# ---------------------------------------------------------------------
+# x-slab-TILED multi-sweep kernel (fine levels whose 9-array working set
+# exceeds VMEM -- the 128x128x32 flagship).  Shrinking halo-ring
+# recomputation per color update; halo 8 supports nsweeps <= 3 (+ fused
+# residual); longer smooths chain <=2-sweep calls.  All-periodic f32.
+# ---------------------------------------------------------------------
+
+TILE_HALO = 8
+
+
+def _tiled_kernel(TB, ny, nz, nsweeps, want_residual,
+                  x_ref, b_ref, diag_ref, dinv_ref, f0_ref, f1_ref,
+                  f2_ref, out_ref, res_ref,
+                  xs, bs, dgs, ds, f0s, f1s, f2s, sems):
+    cx = pl.program_id(0) * TB
+    S = TB + 2 * TILE_HALO
+    refs = (x_ref, b_ref, diag_ref, dinv_ref, f0_ref, f1_ref, f2_ref)
+    slabs = (xs, bs, dgs, ds, f0s, f1s, f2s)
+    copies = [pltpu.make_async_copy(r.at[pl.ds(cx, S)], s, sems.at[i])
+              for i, (r, s) in enumerate(zip(refs, slabs))]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    x = xs[...]
+    b = bs[...]
+    diag = dgs[...]
+    dinv = ds[...]
+    F = (f0s[...], f1s[...], f2s[...])
+    Flo = tuple(_shift_merged(F[ax], ax, -1, ny, nz) for ax in range(3))
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    gi = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + cx - TILE_HALO
+    par = (gi + idx // nz + idx % nz) % 2
+    red = (par == 0).astype(x.dtype)
+    black = 1.0 - red
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+
+    def L(xv):
+        out = diag * xv
+        for ax in range(3):
+            xE = _shift_merged(xv, ax, +1, ny, nz)
+            xW = _shift_merged(xv, ax, -1, ny, nz)
+            out = out - (F[ax] * xE + Flo[ax] * xW)
+        return out
+
+    total = 2 * nsweeps
+    extra = 1 if want_residual else 0
+    for u in range(total):
+        e = (total - 1 - u) + extra
+        color = red if u % 2 == 0 else black
+        upd = x + color * (b - L(x)) * dinv
+        ring = jnp.logical_and(rows >= TILE_HALO - e,
+                               rows < S - TILE_HALO + e)
+        x = jnp.where(ring, upd, x)
+    out_ref[...] = x[TILE_HALO:TILE_HALO + TB]
+    if want_residual:
+        res_ref[...] = (b - L(x))[TILE_HALO:TILE_HALO + TB]
+    else:
+        res_ref[...] = jnp.zeros((TB, ny * nz), x.dtype)
+
+
+def _tile_for(nx, m, itemsize=4, n_arrays=13):
+    for tb in (128, 64, 32, 16, 8):
+        if nx % tb:
+            continue
+        if n_arrays * (tb + 2 * TILE_HALO) * m * itemsize <= VMEM_BUDGET:
+            return tb
+    return None
+
+
+def tiled_supported(lev, shape, dtype, nsweeps=2) -> bool:
+    if not HAVE_PALLAS or len(shape) != 3 or lev.ebc is not None:
+        return False
+    if dtype != jnp.float32 and not INTERPRET:
+        return False
+    if any(int(bc) != 0 for bc in tuple(lev.bc_lo) + tuple(lev.bc_hi)):
+        return False
+    if 2 * min(nsweeps, 2) + 1 > TILE_HALO:
+        return False
+    nx, ny, nz = shape
+    if (ny * nz) % 128 != 0 or nx % 8 != 0:
+        return False
+    return _tile_for(nx, ny * nz) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("nsweeps", "want_residual",
+                                             "shape"))
+def _run_tiled(x, b, diag, dinv, fhi, nsweeps, want_residual, shape):
+    nx, ny, nz = shape
+    m = ny * nz
+    TB = _tile_for(nx, m)
+    kern = functools.partial(_tiled_kernel, TB, ny, nz, nsweeps,
+                             want_residual)
+
+    def padx(a, w=TILE_HALO):
+        f = a.reshape(nx, m)
+        return jnp.concatenate([f[-w:], f, f[:w]], axis=0)
+
+    out, res = pl.pallas_call(
+        kern,
+        interpret=INTERPRET,
+        grid=(nx // TB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 7,
+        out_specs=(pl.BlockSpec((TB, m), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((TB, m), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((nx, m), x.dtype),
+                   jax.ShapeDtypeStruct((nx, m), x.dtype)),
+        scratch_shapes=[pltpu.VMEM((TB + 2 * TILE_HALO, m), x.dtype)] * 7
+        + [pltpu.SemaphoreType.DMA((7,))],
+    )(padx(x), padx(b), padx(diag), padx(dinv), padx(fhi[0]),
+      padx(fhi[1]), padx(fhi[2]))
+    out = out.reshape(shape)
+    return (out, res.reshape(shape)) if want_residual else (out, None)
+
+
+def smooth_tiled(x, b, diag, fhi, lev, nsweeps, want_residual=False):
+    """Tiled variant of smooth() for levels that exceed whole-VMEM.
+    3D single-component arrays only (callers loop the batch axis)."""
+    fhi_scaled = tuple(
+        (lev.beta / (lev.dx[ax] * lev.dx[ax])) * fhi[ax].astype(x.dtype)
+        for ax in range(3))
+    dmax = jnp.max(jnp.abs(diag))
+    ok = jnp.abs(diag) > 1e-8 * dmax
+    dinv = jnp.where(ok, 1.0 / jnp.where(ok, diag, 1.0), 0.0)
+    n = int(nsweeps)
+    shape = tuple(x.shape)
+    r = None
+    while n > 0:
+        take = min(n, 2)
+        last = (n - take) == 0
+        x, r = _run_tiled(x, b, diag, dinv, fhi_scaled, take,
+                          bool(want_residual) and last, shape)
+        n -= take
+    return x, r

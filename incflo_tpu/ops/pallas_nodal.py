@@ -198,10 +198,137 @@ def _run(x, b, sigma, dinv, nsweeps, want_residual, dx, shape):
     return (out, res.reshape(shape)) if want_residual else (out, None)
 
 
+# ---------------------------------------------------------------------
+# x-slab-TILED multi-sweep kernel: covers levels whose 7-array working
+# set exceeds VMEM (the 128x128x32 flagship fine level).  Each tile
+# recomputes a shrinking halo ring per color update so the tile interior
+# is bit-identical to the global sequential-color sweep; halo 8 supports
+# nsweeps <= 3 (+ fused residual).  All-periodic f32 only.
+# ---------------------------------------------------------------------
+
+TILE_HALO = 8
+
+
+def _tiled_kernel(TB, ny, nz, coeffs, nsweeps, want_residual,
+                  x_ref, b_ref, sig_ref, dinv_ref, out_ref, res_ref,
+                  xs, bs, sigs, ds, sems):
+    cx = pl.program_id(0) * TB
+    S = TB + 2 * TILE_HALO
+    copies = [
+        pltpu.make_async_copy(x_ref.at[pl.ds(cx, S)], xs, sems.at[0]),
+        pltpu.make_async_copy(b_ref.at[pl.ds(cx, S)], bs, sems.at[1]),
+        pltpu.make_async_copy(sig_ref.at[pl.ds(cx, S)], sigs, sems.at[2]),
+        pltpu.make_async_copy(dinv_ref.at[pl.ds(cx, S)], ds, sems.at[3]),
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    x = xs[...]
+    b = bs[...]
+    sig = sigs[...]
+    dinv = ds[...]
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    gi = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) + cx - TILE_HALO
+    par = (gi + idx // nz + idx % nz) % 2
+    red = (par == 0).astype(x.dtype)
+    black = 1.0 - red
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+
+    total = 2 * nsweeps
+    extra = 1 if want_residual else 0
+    for u in range(total):
+        e = (total - 1 - u) + extra
+        color = red if u % 2 == 0 else black
+        upd = x + color * (b - _apply_periodic(x, sig, coeffs, ny, nz)) \
+            * dinv
+        ring = jnp.logical_and(rows >= TILE_HALO - e,
+                               rows < S - TILE_HALO + e)
+        x = jnp.where(ring, upd, x)
+    out_ref[...] = x[TILE_HALO:TILE_HALO + TB]
+    if want_residual:
+        res_ref[...] = (b - _apply_periodic(x, sig, coeffs, ny, nz))[
+            TILE_HALO:TILE_HALO + TB]
+    else:
+        res_ref[...] = jnp.zeros((TB, ny * nz), x.dtype)
+
+
+def _tile_for(nx, m, itemsize=4, n_arrays=9):
+    for tb in (128, 64, 32, 16, 8):
+        if nx % tb:
+            continue
+        if n_arrays * (tb + 2 * TILE_HALO) * m * itemsize \
+                <= VMEM_BUDGET:
+            return tb
+    return None
+
+
+def tiled_supported(lev, shape, dtype, nsweeps) -> bool:
+    if not HAVE_PALLAS or len(shape) != 3:
+        return False
+    if dtype != jnp.float32 and not INTERPRET:
+        return False
+    if not all(lev.periodic):
+        return False
+    if 2 * nsweeps + 1 > TILE_HALO:
+        return False
+    nx, ny, nz = shape
+    if (ny * nz) % 128 != 0 or nx % 8 != 0:
+        return False
+    return _tile_for(nx, ny * nz) is not None
+
+
+@functools.partial(jax.jit, static_argnames=("nsweeps", "want_residual",
+                                             "dx", "shape"))
+def _run_tiled(x, b, sigma, dinv, nsweeps, want_residual, dx, shape):
+    nx, ny, nz = shape
+    m = ny * nz
+    TB = _tile_for(nx, m)
+    coeffs = _patterns(dx)
+    kern = functools.partial(_tiled_kernel, TB, ny, nz, coeffs,
+                             nsweeps, want_residual)
+
+    def padx(a, w=TILE_HALO):
+        f = a.reshape(nx, m)
+        return jnp.concatenate([f[-w:], f, f[:w]], axis=0)
+
+    out, res = pl.pallas_call(
+        kern,
+        interpret=INTERPRET,
+        grid=(nx // TB,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * 4,
+        out_specs=(pl.BlockSpec((TB, m), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((TB, m), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((nx, m), x.dtype),
+                   jax.ShapeDtypeStruct((nx, m), x.dtype)),
+        scratch_shapes=[pltpu.VMEM((TB + 2 * TILE_HALO, m), x.dtype)] * 4
+        + [pltpu.SemaphoreType.DMA((4,))],
+    )(padx(x), padx(b), padx(sigma), padx(dinv))
+    out = out.reshape(shape)
+    return (out, res.reshape(shape)) if want_residual else (out, None)
+
+
 def smooth(x, b, sigma, dinv, lev, nsweeps, want_residual=False):
-    """nsweeps fused RB sweeps (+ optional residual) in one dispatch, or
-    None if this level/shape is unsupported."""
-    if not supported(lev, x.shape, x.dtype):
-        return None
-    return _run(x, b, sigma, dinv, int(nsweeps), bool(want_residual),
-                tuple(float(d) for d in lev.dx), tuple(x.shape))
+    """nsweeps fused RB sweeps (+ optional residual) in one dispatch
+    (whole-VMEM when the level fits, x-slab tiled otherwise), or None
+    if unsupported."""
+    dx = tuple(float(d) for d in lev.dx)
+    shape = tuple(x.shape)
+    if supported(lev, x.shape, x.dtype):
+        return _run(x, b, sigma, dinv, int(nsweeps), bool(want_residual),
+                    dx, shape)
+    n = int(nsweeps)
+    if tiled_supported(lev, x.shape, x.dtype, min(n, 2)):
+        # chain tiled calls of <=2 sweeps (halo budget); residual fused
+        # into the last call
+        while n > 0:
+            take = min(n, 2)
+            last = (n - take) == 0
+            x, r = _run_tiled(x, b, sigma, dinv, take,
+                              bool(want_residual) and last, dx, shape)
+            n -= take
+        return x, r
+    return None

@@ -3,6 +3,7 @@ refinement savings with coarse-fine fillpatch, CF solver closures, and
 average_down synchronization, validated against the dense-fine ground
 truth on the rayleigh_taylor configuration."""
 
+import dataclasses
 import numpy as np
 import pytest
 import jax.numpy as jnp
@@ -129,3 +130,85 @@ def test_slab_checkpoint_restart(tmp_path):
     np.testing.assert_allclose(np.asarray(a1.levels[1].level.velocity),
                                np.asarray(a2.levels[1].level.velocity),
                                atol=1e-13)
+
+
+def test_choose_patch_mode_auto():
+    """max_level>0 decks default into slab patches when tags localize
+    (VERDICT r2: patch AMR as the production path)."""
+    from incflo_tpu import amr_patch
+    rt = IncfloConfig.from_text("""
+amr.n_cell = 16 16 32
+amr.max_level = 1
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 0.5 0.5 1.0
+geometry.is_periodic = 1 1 0
+zlo.type = "sw"
+zhi.type = "sw"
+incflo.probtype = 5
+incflo.gravity = 0. 0. -0.1
+incflo.constant_density = false
+incflo.advect_tracer = true
+incflo.gradrhoerr = 0.1
+""")
+    assert amr_patch.choose_patch_mode(rt) == "slab"
+    # no tags anywhere -> dense fallback
+    notags = IncfloConfig.from_text("""
+amr.n_cell = 16 16 16
+amr.max_level = 1
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 1. 1. 1.
+geometry.is_periodic = 1 1 1
+incflo.probtype = 21
+""")
+    assert amr_patch.choose_patch_mode(notags) == "dense"
+
+
+def test_choose_patch_mode_eb_cutcells():
+    """An EB deck with localized cut cells auto-selects slab mode via
+    the forced cut-cell tagging (incflo_tagging.cpp:133-140)."""
+    from incflo_tpu import amr_patch
+    cfg = IncfloConfig.from_text("""
+amr.n_cell = 16 16 8
+amr.max_level = 1
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 1. 1. 0.5
+geometry.is_periodic = 1 1 1
+incflo.probtype = 21
+incflo.geometry = "cylinder"
+cylinder.internal_flow = false
+cylinder.radius = 0.12
+cylinder.direction = 2
+cylinder.center = 0.5 0.5 0.
+""")
+    assert amr_patch.choose_patch_mode(cfg) == "slab"
+
+
+def test_regrid_axis_repick():
+    """regrid() re-picks the slab axis when the tags move; the rebuilt
+    hierarchy advances cleanly afterwards."""
+    cfg = IncfloConfig.from_text("""
+amr.n_cell = 16 16 16
+amr.max_level = 1
+amr.patch_mode = slab
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 1. 1. 1.
+geometry.is_periodic = 1 1 1
+incflo.probtype = 21
+incflo.tag_region = true
+incflo.tag_region_lo = 0.0 0.0 0.4
+incflo.tag_region_hi = 1.0 1.0 0.6
+incflo.fixed_dt = 0.005
+""")
+    amr = SlabAMRSimulation(cfg)
+    assert amr.axis == 2
+    s = amr.init_state()
+    s = amr.advance(s)
+    # move the tag region to localize along x instead
+    amr.cfg = dataclasses.replace(
+        amr.cfg, tag_region_lo=(0.4, 0.0, 0.0), tag_region_hi=(0.6, 1.0, 1.0))
+    amr.sim0.cfg = amr.cfg
+    s2 = amr.regrid(s)
+    assert amr.axis == 0
+    s3 = amr.advance(s2)
+    v = np.asarray(s3.levels[1].level.velocity)
+    assert np.isfinite(v).all()
