@@ -434,6 +434,16 @@ def choose_patch_mode(cfg: IncfloConfig) -> str:
 
 def _choose_slab(tags: np.ndarray, axis: int, n: int) -> Tuple[int, int]:
     """Tagged index range along `axis`, padded by 1 block and snapped."""
+    return _choose_slabs(tags, axis, n, max_patches=1)[0]
+
+
+def _choose_slabs(tags: np.ndarray, axis: int, n: int,
+                  max_patches: int = 4) -> List[Tuple[int, int]]:
+    """Cluster the tagged rows along `axis` into up to `max_patches`
+    disjoint slabs, each padded by one block and snapped (the 1D analog
+    of the reference's ErrorEst -> box clustering, incflo_regrid.cpp:
+    8-119).  Runs separated by small gaps merge first; if the budget is
+    exceeded the narrowest gaps keep merging."""
     proj = tags
     for a2 in sorted(range(tags.ndim), reverse=True):
         if a2 != axis:
@@ -442,11 +452,40 @@ def _choose_slab(tags: np.ndarray, axis: int, n: int) -> Tuple[int, int]:
     if len(idx) == 0:
         # nothing tagged: keep a minimal centered slab alive
         mid = n // 2
-        return max(0, mid - BLOCK), min(n, mid + BLOCK)
-    lo, hi = int(idx[0]), int(idx[-1]) + 1
-    lo = max(0, (lo // BLOCK - 1) * BLOCK)
-    hi = min(n, ((hi + BLOCK - 1) // BLOCK + 1) * BLOCK)
-    return lo, hi
+        return [(max(0, mid - BLOCK), min(n, mid + BLOCK))]
+    # maximal runs of tagged rows
+    runs = []
+    start = prev = int(idx[0])
+    for i in idx[1:]:
+        i = int(i)
+        if i == prev + 1:
+            prev = i
+            continue
+        runs.append((start, prev + 1))
+        start = prev = i
+    runs.append((start, prev + 1))
+    # pad + snap each run
+    slabs = []
+    for lo, hi in runs:
+        lo = max(0, (lo // BLOCK - 1) * BLOCK)
+        hi = min(n, ((hi + BLOCK - 1) // BLOCK + 1) * BLOCK)
+        slabs.append([lo, hi])
+    # merge overlapping/touching, then merge smallest gaps to budget
+    def merge_once(i):
+        slabs[i][1] = max(slabs[i][1], slabs[i + 1][1])
+        del slabs[i + 1]
+
+    i = 0
+    while i < len(slabs) - 1:
+        if slabs[i + 1][0] <= slabs[i][1]:
+            merge_once(i)
+        else:
+            i += 1
+    while len(slabs) > max_patches:
+        gaps = [slabs[i + 1][0] - slabs[i][1]
+                for i in range(len(slabs) - 1)]
+        merge_once(int(np.argmin(gaps)))
+    return [tuple(s) for s in slabs]
 
 
 @jax.tree_util.register_pytree_node_class
@@ -487,20 +526,29 @@ class PatchState:
 
 
 class SlabAMRSimulation:
-    """Two-plus-level slab-patch AMR driver (amr.patch_mode = slab)."""
+    """Slab-patch AMR driver (amr.patch_mode = slab).
+
+    The hierarchy is a PATCH TREE stored flat: sims[0] is the base
+    Simulation; every further entry is a PatchSim whose parent is
+    sims[parent[i]].  Each level-(L-1) patch may carry SEVERAL disjoint
+    level-L slabs (amr.max_patches per parent, reference ErrorEst box
+    clustering reduced to 1D), all along the single slab axis."""
 
     def __init__(self, cfg: IncfloConfig):
         assert cfg.max_level >= 1
         self.cfg = cfg
         self.base_grid = cfg.grid
         self.max_level = cfg.max_level
+        self.max_patches = cfg.max_patches
         self.sim0 = Simulation(cfg)
         self.dtype = self.sim0.dtype
         self.axis = self._pick_axis()
         self.sims: List[Simulation] = [self.sim0]
         self.bounds: List[Tuple[int, int]] = [(0, cfg.grid.n_cell[self.axis])]
+        self.parent: List[int] = [-1]
+        self.level_of: List[int] = [0]
         self._adv_cache: Dict[Tuple, object] = {}
-        self.masks: List[Optional[np.ndarray]] = [None] * self.max_level
+        self.masks: List[Optional[np.ndarray]] = [None]
 
     # -- geometry of the hierarchy ------------------------------------
     def _best_axis(self, tags: np.ndarray) -> int:
@@ -534,15 +582,13 @@ class SlabAMRSimulation:
         return compute_tags(self.cfg, rho, parent_sim.grid,
                             eb=parent_sim.eb)
 
-    def _build_level(self, lev: int, lo: int, hi: int):
-        """(Re)build the PatchSim for level `lev` over parent cells
-        [lo, hi) along the slab axis."""
-        parent = self.sims[lev - 1]
+    def _build_patch(self, parent_idx: int, lo: int, hi: int) -> "PatchSim":
+        """Build a PatchSim over parent cells [lo, hi) along the slab
+        axis of sims[parent_idx]."""
+        parent = self.sims[parent_idx]
         pg = parent.grid
         ax = self.axis
-        nd = pg.ndim
-        n_f = list(pg.n_cell)
-        n_f = [2 * n for n in n_f]
+        n_f = [2 * n for n in pg.n_cell]
         n_f[ax] = 2 * (hi - lo)
         prob_lo = list(pg.prob_lo)
         prob_hi = list(pg.prob_hi)
@@ -573,23 +619,51 @@ class SlabAMRSimulation:
         ps.face_domain = face_dom
         return ps
 
+    # back-compat shim (io.read_checkpoint_patch, old tests)
+    def _build_level(self, lev: int, lo: int, hi: int) -> "PatchSim":
+        return self._build_patch(lev - 1, lo, hi)
+
+    def _indices_at_level(self, lev: int) -> List[int]:
+        return [i for i, l in enumerate(self.level_of) if l == lev]
+
     # -- lifecycle ----------------------------------------------------
     def init_state(self):
-        """Returns the list of per-level SimStates."""
+        """Returns the flat list of per-patch SimStates (parents before
+        children)."""
         states = [self.sim0.init_state()]
         for lev in range(1, self.max_level + 1):
-            parent_state = states[lev - 1]
-            rho = np.asarray(parent_state.level.density)
-            tags = self._tag_level(rho, self.sims[lev - 1])
-            lo, hi = _choose_slab(tags, self.axis,
-                                  self.sims[lev - 1].grid.n_cell[self.axis])
-            ps = self._build_level(lev, lo, hi)
-            self.sims.append(ps)
-            self.bounds.append((lo, hi))
-            ps.set_context(parent_state.level)
-            states.append(ps.init_state_from(parent_state))
-            self.masks[lev - 1] = self._mask_from_bounds(lev - 1, lo, hi)
+            for p in self._indices_at_level(lev - 1):
+                parent_state = states[p]
+                rho = np.asarray(parent_state.level.density)
+                tags = self._tag_level(rho, self.sims[p])
+                slabs = _choose_slabs(tags, self.axis,
+                                      self.sims[p].grid.n_cell[self.axis],
+                                      self.max_patches)
+                for (lo, hi) in slabs:
+                    ps = self._build_patch(p, lo, hi)
+                    self.sims.append(ps)
+                    self.bounds.append((lo, hi))
+                    self.parent.append(p)
+                    self.level_of.append(lev)
+                    self.masks.append(None)
+                    ps.set_context(parent_state.level)
+                    states.append(ps.init_state_from(parent_state))
+                self.masks[p] = self._mask_of_children(p)
         return PatchState(states)
+
+    def _mask_of_children(self, p: int) -> Optional[np.ndarray]:
+        kids = [i for i in range(len(self.sims)) if i > 0
+                and self.parent[i] == p]
+        if not kids:
+            return None
+        g = self.sims[p].grid
+        m = np.zeros(g.cell_shape, bool)
+        for i in kids:
+            lo, hi = self.bounds[i]
+            sl = [slice(None)] * g.ndim
+            sl[self.axis] = slice(lo, hi)
+            m[tuple(sl)] = True
+        return m
 
     def _mask_from_bounds(self, lev, lo, hi):
         g = self.sims[lev].grid
@@ -601,7 +675,7 @@ class SlabAMRSimulation:
 
     # -- advance ------------------------------------------------------
     def advance(self, state: PatchState) -> PatchState:
-        key = (self.axis,) + tuple(self.bounds[1:])
+        key = (self.axis,) + tuple(zip(self.parent[1:], self.bounds[1:]))
         fn = self._adv_cache.get(key)
         if fn is None:
             fn = jax.jit(self._advance_impl)
@@ -611,8 +685,8 @@ class SlabAMRSimulation:
         # jit trace must not leak into later host-side consumers
         # (plotfiles, regrid, checkpoint ghost fills): refresh with the
         # concrete new states
-        for lev in range(1, len(self.sims)):
-            self.sims[lev].set_context(out.levels[lev - 1].level)
+        for i in range(1, len(self.sims)):
+            self.sims[i].set_context(out.levels[self.parent[i]].level)
         if self.cfg.regrid_int > 0 \
                 and int(out.step) % self.cfg.regrid_int == 0:
             out = self.regrid(out)
@@ -621,22 +695,23 @@ class SlabAMRSimulation:
     def _advance_impl(self, states: List[SimState]) -> List[SimState]:
         # one dt for the whole hierarchy (no subcycling)
         dt = self.sim0.peek_dt(states[0])
-        for lev in range(1, len(self.sims)):
-            self.sims[lev].set_context(states[lev - 1].level)
-            dt = jnp.minimum(dt, self.sims[lev].peek_dt(states[lev]))
+        for i in range(1, len(self.sims)):
+            self.sims[i].set_context(states[self.parent[i]].level)
+            dt = jnp.minimum(dt, self.sims[i].peek_dt(states[i]))
         out = [self.sim0._advance_impl(states[0], dt_force=dt)]
-        for lev in range(1, len(self.sims)):
+        for i in range(1, len(self.sims)):
             # new parent state closes the implicit solves; OLD parent
             # state feeds the old-time convective ghost fills
-            self.sims[lev].set_context(out[lev - 1].level,
-                                       parent_lvl_old=states[lev - 1].level)
-            out.append(self.sims[lev]._advance_impl(states[lev],
-                                                    dt_force=dt))
-        # two-way coupling: average the fine solution down into the
-        # parent's covered range (reference average_down after Advance)
-        for lev in range(len(self.sims) - 1, 0, -1):
-            out[lev - 1] = self._sync_down(out[lev - 1], out[lev],
-                                           self.bounds[lev])
+            p = self.parent[i]
+            self.sims[i].set_context(out[p].level,
+                                     parent_lvl_old=states[p].level)
+            out.append(self.sims[i]._advance_impl(states[i],
+                                                  dt_force=dt))
+        # two-way coupling: average the fine solutions down into each
+        # parent's covered ranges (reference average_down after Advance)
+        for i in range(len(self.sims) - 1, 0, -1):
+            p = self.parent[i]
+            out[p] = self._sync_down(out[p], out[i], self.bounds[i])
         return out
 
     def _sync_down(self, cs: SimState, fs: SimState, bounds) -> SimState:
@@ -663,49 +738,74 @@ class SlabAMRSimulation:
 
     # -- regrid -------------------------------------------------------
     def regrid(self, state: PatchState) -> PatchState:
-        """Recompute slab bounds from the current tags; rebuild levels
-        whose bounds changed (new regions initialize from parent
-        interpolation; the overlap keeps the fine data).
-
-        The slab axis is RE-PICKED from the current level-0 tags; a
-        changed axis (or a rebuilt parent) rebuilds every deeper level
-        from parent interpolation -- their stored bounds are indices in
-        the OLD parent frame and must not be compared or overlap-copied
-        across frames (reference RemakeLevel semantics)."""
+        """Recompute the slab tree from the current tags.  The slab axis
+        is RE-PICKED from the level-0 tags; surviving patches (same
+        parent entry, parent frame unchanged) keep their fine data over
+        the overlap, everything else re-initializes from parent
+        interpolation (reference RemakeLevel / MakeNewLevelFromCoarse
+        semantics, incflo_regrid.cpp:8-119)."""
         states = list(state.levels)
         tags0 = self._tag_level(np.asarray(states[0].level.density),
                                 self.sim0)
         new_axis = self._best_axis(tags0)
-        parent_changed = new_axis != self.axis
-        if parent_changed:
-            self.axis = new_axis
-            self.bounds[0] = (0, self.base_grid.n_cell[self.axis])
+        axis_changed = new_axis != self.axis
+        self.axis = new_axis
+        old_sims, old_bounds = self.sims, self.bounds
+        old_parent, old_levels, old_states = (self.parent, self.level_of,
+                                              states)
+        self.sims = [self.sim0]
+        self.bounds = [(0, self.base_grid.n_cell[self.axis])]
+        self.parent = [-1]
+        self.level_of = [0]
+        self.masks = [None]
         new_states = [states[0]]
-        for lev in range(1, len(self.sims)):
-            parent_state = new_states[lev - 1]
-            rho = np.asarray(parent_state.level.density)
-            tags = self._tag_level(rho, self.sims[lev - 1])
-            n_par = self.sims[lev - 1].grid.n_cell[self.axis]
-            lo, hi = _choose_slab(tags, self.axis, n_par)
-            old_lo, old_hi = self.bounds[lev]
-            if (lo, hi) == (old_lo, old_hi) and not parent_changed:
-                new_states.append(states[lev])
-                continue
-            ps = self._build_level(lev, lo, hi)
-            ps.set_context(parent_state.level)
-            init = ps.init_from_parent(parent_state)
-            # keep the overlap from the old fine data -- only when the
-            # parent frame is unchanged (indices are comparable)
-            if not parent_changed:
-                ov_lo, ov_hi = max(lo, old_lo), min(hi, old_hi)
-                if ov_hi > ov_lo:
-                    init = _copy_overlap(init, states[lev], self.axis,
-                                         lo, old_lo, ov_lo, ov_hi)
-            self.sims[lev] = ps
-            self.bounds[lev] = (lo, hi)
-            self.masks[lev - 1] = self._mask_from_bounds(lev - 1, lo, hi)
-            new_states.append(init)
-            parent_changed = True   # deeper levels live in this frame
+        # old entry index kept per NEW parent entry for overlap reuse
+        kept_src = {0: (0, True)}      # new idx -> (old idx, frame_same)
+        for lev in range(1, self.max_level + 1):
+            for p in self._indices_at_level(lev - 1):
+                parent_state = new_states[p]
+                rho = np.asarray(parent_state.level.density)
+                tags = self._tag_level(rho, self.sims[p])
+                slabs = _choose_slabs(tags, self.axis,
+                                      self.sims[p].grid.n_cell[self.axis],
+                                      self.max_patches)
+                src_p, frame_same = kept_src.get(p, (None, False))
+                # the old children of the matching old parent entry
+                old_kids = [] if src_p is None else \
+                    [j for j in range(len(old_sims))
+                     if j > 0 and old_parent[j] == src_p]
+                for (lo, hi) in slabs:
+                    ps = self._build_patch(p, lo, hi)
+                    i = len(self.sims)
+                    self.sims.append(ps)
+                    self.bounds.append((lo, hi))
+                    self.parent.append(p)
+                    self.level_of.append(lev)
+                    self.masks.append(None)
+                    ps.set_context(parent_state.level)
+                    match = None
+                    if frame_same and not axis_changed:
+                        best_ov = 0
+                        for j in old_kids:
+                            olo, ohi = old_bounds[j]
+                            ov = min(hi, ohi) - max(lo, olo)
+                            if ov > best_ov:
+                                best_ov, match = ov, j
+                    if match is not None and (lo, hi) == old_bounds[match]:
+                        # identical placement: keep the old state whole
+                        new_states.append(old_states[match])
+                        kept_src[i] = (match, True)
+                        continue
+                    init = ps.init_from_parent(parent_state)
+                    if match is not None:
+                        olo, ohi = old_bounds[match]
+                        ov_lo, ov_hi = max(lo, olo), min(hi, ohi)
+                        init = _copy_overlap(init, old_states[match],
+                                             self.axis, lo, olo,
+                                             ov_lo, ov_hi)
+                    new_states.append(init)
+                    kept_src[i] = (match, False)
+                self.masks[p] = self._mask_of_children(p)
         return PatchState(new_states)
 
 

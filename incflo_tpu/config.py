@@ -53,6 +53,7 @@ class IncfloConfig:
     ref_ratio: int = 2
     regrid_int: int = -1
     patch_mode: str = ""
+    max_patches: int = 4   # slabs per parent patch (1D box-cluster cap)
 
     # time stepping
     stop_time: float = -1.0
@@ -220,8 +221,9 @@ class IncfloConfig:
 
         c.max_level = int(amr.query("max_level", 0))
         c.regrid_int = int(amr.query("regrid_int", -1))
-        # "slab": patch-based refinement (amr_patch.py); "" = dense mode
+        # "slab": patch-based refinement (amr_patch.py); "" = auto
         c.patch_mode = str(amr.query("patch_mode", ""))
+        c.max_patches = int(amr.query("max_patches", 4))
         c.KE_int = int(amr.query("KE_int", -1))
 
         # no-prefix ----------------------------------------------------

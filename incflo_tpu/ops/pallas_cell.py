@@ -235,7 +235,7 @@ def _tiled_kernel(TB, ny, nz, nsweeps, want_residual,
         res_ref[...] = jnp.zeros((TB, ny * nz), x.dtype)
 
 
-def _tile_for(nx, m, itemsize=4, n_arrays=13):
+def _tile_for(nx, m, itemsize=4, n_arrays=18):
     for tb in (128, 64, 32, 16, 8):
         if nx % tb:
             continue

@@ -382,63 +382,78 @@ def write_job_info(path: str, cfg: IncfloConfig):
 # ---------------------------------------------------------------------
 
 def write_plotfile_patch(path: str, state, amr, cfg: IncfloConfig):
-    """Multi-level plotfile for the slab-patch hierarchy: Level_l.npz
-    holds that level's OWN solution over its own (sub)domain, plus the
-    patch placement metadata."""
+    """Plotfile for the slab-patch tree: Level_i.npz holds patch i's OWN
+    solution over its own (sub)domain, plus the placement metadata
+    (parent entry, level, slab bounds)."""
     os.makedirs(path, exist_ok=True)
-    for lev, (sim, s) in enumerate(zip(amr.sims, state.levels)):
+    for i, (sim, s) in enumerate(zip(amr.sims, state.levels)):
         fields = gather_plot_fields(s, sim.cfg, sim)
-        if lev > 0:
-            fields["patch_lo"] = np.asarray([amr.bounds[lev][0]])
-            fields["patch_hi"] = np.asarray([amr.bounds[lev][1]])
-        if lev < len(amr.sims) - 1 and amr.masks[lev] is not None:
-            fields["refine_mask"] = np.asarray(amr.masks[lev])
-        np.savez(os.path.join(path, f"Level_{lev}.npz"), **fields)
+        if i > 0:
+            fields["patch_lo"] = np.asarray([amr.bounds[i][0]])
+            fields["patch_hi"] = np.asarray([amr.bounds[i][1]])
+        if amr.masks[i] is not None:
+            fields["refine_mask"] = np.asarray(amr.masks[i])
+        np.savez(os.path.join(path, f"Level_{i}.npz"), **fields)
     hdr = {
         "version": "IncfloTPU-Plotfile-1",
         "step": int(state.step), "time": float(state.t),
         "dt": float(state.dt),
         "prob_lo": list(cfg.grid.prob_lo), "prob_hi": list(cfg.grid.prob_hi),
         "n_cell": list(cfg.grid.n_cell),
-        "finest_level": len(amr.sims) - 1,
+        "finest_level": max(amr.level_of),
         "ref_ratio": cfg.ref_ratio,
         "patch_axis": amr.axis,
         "patch_bounds": [list(b) for b in amr.bounds],
+        "patch_parents": list(amr.parent),
+        "patch_levels": list(amr.level_of),
     }
     with open(os.path.join(path, "Header"), "w") as f:
         json.dump(hdr, f, indent=1)
 
 
 def write_checkpoint_patch(path: str, state, amr, cfg: IncfloConfig):
-    """Checkpoint every level + the patch metadata needed to rebuild the
+    """Checkpoint every patch + the tree metadata needed to rebuild the
     hierarchy on restart."""
-    for lev, s in enumerate(state.levels):
-        lp = os.path.join(path, f"patch_level_{lev}")
-        write_checkpoint(lp, s, amr.sims[lev].cfg)
+    for i, s in enumerate(state.levels):
+        lp = os.path.join(path, f"patch_level_{i}")
+        write_checkpoint(lp, s, amr.sims[i].cfg)
     meta = {"axis": amr.axis, "bounds": [list(b) for b in amr.bounds],
+            "parents": list(amr.parent), "levels": list(amr.level_of),
             "nlevels": len(amr.sims)}
     with open(os.path.join(path, "Patch.json"), "w") as f:
         json.dump(meta, f)
 
 
 def read_checkpoint_patch(path: str, amr, cfg: IncfloConfig):
-    """Rebuild the slab hierarchy recorded by write_checkpoint_patch and
-    load every level's state."""
+    """Rebuild the slab tree recorded by write_checkpoint_patch and load
+    every patch's state.  Pre-tree checkpoints (no "parents" entry) are
+    read as a single-patch-per-level chain."""
     from incflo_tpu.amr_patch import PatchState
     with open(os.path.join(path, "Patch.json")) as f:
         meta = json.load(f)
+    n = int(meta["nlevels"])
+    parents = meta.get("parents", [-1] + list(range(0, n - 1)))
+    levels = meta.get("levels", list(range(n)))
     amr.axis = int(meta["axis"])
     states = [read_checkpoint(os.path.join(path, "patch_level_0"),
                               cfg, amr.dtype)]
     amr.sims = [amr.sim0]
     amr.bounds = [tuple(meta["bounds"][0])]
-    for lev in range(1, meta["nlevels"]):
-        lo, hi = meta["bounds"][lev]
-        ps = amr._build_level(lev, lo, hi)
+    amr.parent = [-1]
+    amr.level_of = [0]
+    amr.masks = [None]
+    for i in range(1, n):
+        lo, hi = meta["bounds"][i]
+        p = int(parents[i])
+        ps = amr._build_patch(p, lo, hi)
         amr.sims.append(ps)
         amr.bounds.append((lo, hi))
-        ps.set_context(states[lev - 1].level)
+        amr.parent.append(p)
+        amr.level_of.append(int(levels[i]))
+        amr.masks.append(None)
+        ps.set_context(states[p].level)
         states.append(read_checkpoint(
-            os.path.join(path, f"patch_level_{lev}"), ps.cfg, amr.dtype))
-        amr.masks[lev - 1] = amr._mask_from_bounds(lev - 1, lo, hi)
+            os.path.join(path, f"patch_level_{i}"), ps.cfg, amr.dtype))
+    for p in range(len(amr.sims)):
+        amr.masks[p] = amr._mask_of_children(p)
     return PatchState(states)

