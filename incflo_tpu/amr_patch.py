@@ -156,11 +156,14 @@ class PatchSim(Simulation):
         self.cf_interior = frozenset(interior)   # {(axis, side)}
         self.parent_lo = parent_lo               # parent cell of patch lo
         self.slab_axis = axis
-        # CF faces are Dirichlet-from-parent for every state field;
+        # CF faces carry interpolated parent CELL data (FillPatch
+        # semantics: stencils treat the ghosts as interior, not as a
+        # face-located Dirichlet value -- the ext_dir slope forms are
+        # O(h)-wrong at a CF boundary and cost a convergence order);
         # forces extrapolate (smooth fields, ghosts only feed stencils)
         for bcr in (self.vel_bcrec, self.den_bcrec, self.tra_bcrec):
             for (ax, side) in self.cf_interior:
-                bcr[:, ax, side] = BCType.ext_dir
+                bcr[:, ax, side] = BCType.cf_fill
         for (ax, side) in self.cf_interior:
             self.force_bcrec[:, ax, side] = BCType.foextrap
         self._ctx = None
@@ -280,14 +283,20 @@ class PatchSim(Simulation):
             self._tra_bvals[(fax, side)] = face_val(tra_full)
 
         # nodal Dirichlet values: prolong the parent nodal p window
-        pf = self._interp_nodal_p(parent_lvl.p)
-        self._nodal_dvals = {}
+        self._nodal_dvals = self._nodal_dvals_from(parent_lvl.p)
+        self._nodal_dvals_override = None
+        self._ctx = True
+
+    def _nodal_dvals_from(self, parent_p):
+        """CF Dirichlet node values from a parent nodal field."""
+        pf = self._interp_nodal_p(parent_p)
+        out = {}
         for (fax, side) in self.cf_interior:
             n_f = pf.shape[fax]
             s2 = [slice(None)] * pf.ndim
             s2[fax] = slice(0, 1) if side == 0 else slice(n_f - 1, n_f)
-            self._nodal_dvals[(fax, side)] = pf[tuple(s2)]
-        self._ctx = True
+            out[(fax, side)] = pf[tuple(s2)]
+        return out
 
     # -- hooks consumed by Simulation ---------------------------------
     def _mac_bc_args(self):
@@ -298,6 +307,10 @@ class PatchSim(Simulation):
     def _nodal_bc_args(self):
         assert self._ctx
         ov = {f: mg.SolverBC.DIRICHLET for f in self.cf_interior}
+        if self._nodal_dvals_override is not None:
+            # composite-sync correction solve: the Dirichlet data is the
+            # parent's DELTA-p (an incremental phi), not the full p
+            return ov, dict(self._nodal_dvals_override)
         return ov, dict(self._nodal_dvals)
 
     def _diff_bc_args(self, field):
@@ -540,6 +553,7 @@ class SlabAMRSimulation:
         self.base_grid = cfg.grid
         self.max_level = cfg.max_level
         self.max_patches = cfg.max_patches
+        self.composite_sync = cfg.composite_sync
         self.sim0 = Simulation(cfg)
         self.dtype = self.sim0.dtype
         self.axis = self._pick_axis()
@@ -612,7 +626,10 @@ class SlabAMRSimulation:
             if not face_dom[1]:
                 interior.append((ax, 1))
         gf = Grid(tuple(n_f), tuple(prob_lo), tuple(prob_hi),
-                  tuple(periodic))
+                  tuple(periodic),
+                  domain_lo=pg.origin,
+                  domain_hi=pg.domain_hi if pg.domain_hi is not None
+                  else pg.prob_hi)
         cfgf = dataclasses.replace(self.cfg, grid=gf)
         ps = PatchSim(cfgf, interior, lo, ax)
         ps._parent = parent
@@ -712,6 +729,30 @@ class SlabAMRSimulation:
         for i in range(len(self.sims) - 1, 0, -1):
             p = self.parent[i]
             out[p] = self._sync_down(out[p], out[i], self.bounds[i])
+        if self.composite_sync:
+            # composite pressure sync: the averaged-down fine solution
+            # generally leaves a flux mismatch at the CF boundary in the
+            # coarse field; re-project each parent (absorbing the fine
+            # data) and re-solve each patch's CORRECTION field with CF
+            # Dirichlet data = the parent's prolonged DELTA-p.  One pass
+            # of this two-level exchange is the multiplicative-Schwarz
+            # step toward the reference's composite NodalProjector solve
+            # (incflo_apply_nodal_projection.cpp:140-154).
+            p_before = out[0].level.p
+            out[0] = self.sim0.reproject(out[0], dt)
+            dp = {0: out[0].level.p - p_before}
+            for i in range(1, len(self.sims)):
+                p = self.parent[i]
+                self.sims[i].set_context(out[p].level)
+                self.sims[i]._nodal_dvals_override = \
+                    self.sims[i]._nodal_dvals_from(dp[p])
+                pb = out[i].level.p
+                out[i] = self.sims[i].reproject(out[i], dt)
+                self.sims[i]._nodal_dvals_override = None
+                dp[i] = out[i].level.p - pb
+            for i in range(len(self.sims) - 1, 0, -1):
+                p = self.parent[i]
+                out[p] = self._sync_down(out[p], out[i], self.bounds[i])
         return out
 
     def _sync_down(self, cs: SimState, fs: SimState, bounds) -> SimState:

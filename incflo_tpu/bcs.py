@@ -38,6 +38,13 @@ class BCType(enum.IntEnum):
     hoextrap = 3     # quadratic extrapolation through 3 interior cells
     reflect_even = 4
     reflect_odd = 5
+    # coarse-fine fill: ghosts carry interpolated parent CELL data (the
+    # reference's FillPatch at a coarse-fine boundary).  Fills like
+    # ext_dir (from the ExtDirValues provider) but stencils treat the
+    # ghosts as ordinary interior cells -- the ext_dir one-sided slope /
+    # boundary-face forms assume a FACE value at dx/2 and would inject
+    # an O(h) error at every CF boundary.
+    cf_fill = 6
 
 
 class BCKind(enum.IntEnum):
@@ -139,10 +146,16 @@ class ExtDirValues:
 
     def _coord(self, axis: int, pads: Sequence[int], dtype) -> jnp.ndarray:
         """Normalized cell-center coordinates along `axis` including current
-        ghost padding, broadcast-shaped for the field layout."""
+        ghost padding, broadcast-shaped for the field layout.  Normalized
+        in the ROOT-DOMAIN frame ((i+0.5)/n of the reference functor,
+        prob_bc.H:49): a window grid (AMR patch) adds its offset so
+        profiles evaluate at the correct global position."""
         n = self.grid.n_cell[axis]
         p = pads[axis]
-        c = (jnp.arange(-p, n + p, dtype=dtype) + 0.5) / n
+        dx = self.grid.dx[axis]
+        off = self.grid.prob_lo[axis] - self.grid.origin[axis]
+        length = self.grid.domain_length[axis]
+        c = (off + (jnp.arange(-p, n + p, dtype=dtype) + 0.5) * dx) / length
         shape = [1] * (self.grid.ndim + 1)
         shape[axis] = -1
         return c.reshape(shape)
@@ -268,7 +281,7 @@ def _ghost_block(fc, ax, side, g, grid, pads, bct, ext_values, comp):
         far = jnp.tile(q0, reps)
         return jnp.concatenate([far, g1], axis=ax) if side == 0 else \
             jnp.concatenate([g1, far], axis=ax)
-    if bct == BCType.ext_dir:
+    if bct == BCType.ext_dir or bct == BCType.cf_fill:
         shape = list(fc.shape)
         shape[ax] = g
         if ext_values is not None:

@@ -54,6 +54,8 @@ class IncfloConfig:
     regrid_int: int = -1
     patch_mode: str = ""
     max_patches: int = 4   # slabs per parent patch (1D box-cluster cap)
+    composite_sync: bool = True   # patch AMR: post-step composite
+                                  # pressure re-projection exchange
 
     # time stepping
     stop_time: float = -1.0
@@ -224,6 +226,7 @@ class IncfloConfig:
         # "slab": patch-based refinement (amr_patch.py); "" = auto
         c.patch_mode = str(amr.query("patch_mode", ""))
         c.max_patches = int(amr.query("max_patches", 4))
+        c.composite_sync = bool(amr.query("composite_sync", 1))
         c.KE_int = int(amr.query("KE_int", -1))
 
         # no-prefix ----------------------------------------------------

@@ -23,6 +23,14 @@ class Grid:
     prob_lo: Tuple[float, ...]
     prob_hi: Tuple[float, ...]
     periodic: Tuple[bool, ...]
+    # Root-domain extent, set on WINDOW grids (AMR patches) whose
+    # prob_lo/prob_hi cover only part of the problem domain.  The
+    # reference evaluates IC/BC functors at GLOBAL fine indices
+    # ((i+0.5)*dx in the root frame, prob_bc.H:49); a window grid must
+    # reproduce that frame, not restart coordinates at its own corner.
+    # None (the default, every non-window grid) means self-rooted.
+    domain_lo: Tuple[float, ...] = None
+    domain_hi: Tuple[float, ...] = None
 
     def __post_init__(self):
         assert len(self.n_cell) in (2, 3)
@@ -78,14 +86,30 @@ class Grid:
     def normalized_cell_centers_1d(self, axis: int) -> np.ndarray:
         """(i+0.5)/n_cell -- the convention the reference's IC/BC functors use
         (e.g. src/prob/prob_bc.H:49)."""
-        return (np.arange(self.n_cell[axis]) + 0.5) / self.n_cell[axis]
+        x0 = self.origin[axis]
+        length = self.domain_length[axis]
+        phys = self.prob_lo[axis] \
+            + (np.arange(self.n_cell[axis]) + 0.5) * self.dx[axis]
+        return (phys - x0) / length
+
+    @property
+    def origin(self) -> Tuple[float, ...]:
+        """Root-domain lo corner (= prob_lo unless this is a window)."""
+        return self.domain_lo if self.domain_lo is not None else self.prob_lo
+
+    @property
+    def domain_length(self) -> Tuple[float, ...]:
+        hi = self.domain_hi if self.domain_hi is not None else self.prob_hi
+        return tuple(h - l for l, h in zip(self.origin, hi))
 
     # -- refinement -------------------------------------------------------
     def refine(self, ratio: int = 2) -> "Grid":
         return Grid(tuple(n * ratio for n in self.n_cell),
-                    self.prob_lo, self.prob_hi, self.periodic)
+                    self.prob_lo, self.prob_hi, self.periodic,
+                    self.domain_lo, self.domain_hi)
 
     def coarsen(self, ratio: int = 2) -> "Grid":
         assert all(n % ratio == 0 for n in self.n_cell)
         return Grid(tuple(n // ratio for n in self.n_cell),
-                    self.prob_lo, self.prob_hi, self.periodic)
+                    self.prob_lo, self.prob_hi, self.periodic,
+                    self.domain_lo, self.domain_hi)

@@ -245,6 +245,12 @@ def _tile_for(nx, m, itemsize=4, n_arrays=18):
 
 
 def tiled_supported(lev, shape, dtype, nsweeps=2) -> bool:
+    # Opt-in: see ops/pallas_nodal.tiled_supported -- ring-shrink
+    # redundancy at VMEM-feasible tiles loses to the XLA-fused jnp
+    # smoother at flagship sizes.
+    import os
+    if os.environ.get("INCFLO_PALLAS_TILED", "0") != "1":
+        return False
     if not HAVE_PALLAS or len(shape) != 3 or lev.ebc is not None:
         return False
     if dtype != jnp.float32 and not INTERPRET:

@@ -21,8 +21,11 @@ on VMEM data (merged (y,z) lane axis; y-shift = roll by nz which wraps
 correctly, z-shift = roll by 1 with a wrap fix on the z boundary).
 
 Scope: 3D, float32, ALL axes periodic, power-of-two shapes with
-ny*nz % 128 == 0 and the whole working set (~7 arrays) within VMEM --
-exactly the flagship bench configs.  Anything else falls back to jnp.
+ny*nz % 128 == 0 and the whole working set (~7 arrays) within the
+16 MB VMEM -- levels up to ~96^3-equivalent, i.e. every COARSE level
+of the flagship 128x128x32 hierarchy but not its finest (which runs
+the XLA-fused jnp scan; the tiled variant below covers it but measures
+slower -- see PERF.md round 3).  Anything else falls back to jnp.
 """
 
 from __future__ import annotations
@@ -265,6 +268,15 @@ def _tile_for(nx, m, itemsize=4, n_arrays=22):
 
 
 def tiled_supported(lev, shape, dtype, nsweeps) -> bool:
+    # Opt-in (INCFLO_PALLAS_TILED=1): at VMEM-feasible tile sizes
+    # (TB=16, halo 8 -> 3x redundant rows) the tiled multi-sweep kernel
+    # measures 0.78 ms vs 0.64 ms for the XLA-fused jnp smoother at
+    # 128x128x32 f32 -- the ring-shrink recomputation overhead exceeds
+    # the launch savings, and each Mosaic instantiation costs minutes
+    # through the axon tunnel.  Kept for larger-VMEM parts.
+    import os
+    if os.environ.get("INCFLO_PALLAS_TILED", "0") != "1":
+        return False
     if not HAVE_PALLAS or len(shape) != 3:
         return False
     if dtype != jnp.float32 and not INTERPRET:

@@ -23,10 +23,14 @@ PI = math.pi
 
 
 def _coords_no_offset(grid: Grid, dtype):
-    """(i+0.5)*dx per axis, broadcastable (the reference's common idiom)."""
+    """(i+0.5)*dx per axis in the ROOT-DOMAIN index frame, broadcastable
+    (the reference's common idiom: coordinates from the global fine
+    index, so a window grid -- an AMR patch -- must add its offset from
+    the root origin or its ICs evaluate in the wrong place)."""
     out = []
     for ax in range(grid.ndim):
-        c = (np.arange(grid.n_cell[ax]) + 0.5) * grid.dx[ax]
+        off = grid.prob_lo[ax] - grid.origin[ax]
+        c = off + (np.arange(grid.n_cell[ax]) + 0.5) * grid.dx[ax]
         shape = [1] * grid.ndim
         shape[ax] = -1
         out.append(jnp.asarray(c.reshape(shape), dtype=dtype))

@@ -831,6 +831,24 @@ class Simulation:
                                      old.gp)
         return self.compute_dt(old.velocity, old.density, vf, s)
 
+    def reproject(self, s: SimState, dt) -> SimState:
+        """Incremental re-projection of the CURRENT velocity field:
+        removes its residual divergence and accumulates the correction
+        into p/gp.  The composite pressure sync of the patch AMR driver
+        (reference: the NodalProjector is constructed over the whole
+        hierarchy, incflo_apply_nodal_projection.cpp:140-154; here the
+        coarse level re-projects AFTER absorbing the averaged-down fine
+        solution, and each patch then re-closes against the corrected
+        parent)."""
+        lvl = s.level
+        vel, p, gp, res, it = self.apply_projection(
+            lvl.velocity, jnp.zeros_like(lvl.velocity), lvl.density,
+            lvl.gp, lvl.p, dt, True,
+            jnp.zeros((), self.dtype))
+        if self.eb is not None:
+            vel = vel * self.eb.fluid[..., None]
+        return s._replace(level=lvl._replace(velocity=vel, p=p, gp=gp))
+
     def _advance_impl(self, s: SimState, dt_force=None) -> SimState:
         cfg = self.cfg
         old = s.level

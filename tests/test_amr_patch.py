@@ -295,3 +295,139 @@ incflo.fixed_dt = 0.004
     assert len(amr.sims) == 2
     s3 = amr.advance(s2)
     assert np.isfinite(np.asarray(s3.levels[1].level.velocity)).all()
+
+
+def test_composite_sync_removes_cf_divergence():
+    """The composite pressure sync leaves the coarse field solenoidal on
+    every UNCOVERED node -- the region where the coarse equations hold.
+    Without the sync, the averaged-down fine solution injects a flux
+    mismatch that pollutes the coarse field outside the patch; the
+    reference avoids this by solving one composite NodalProjector over
+    the hierarchy (incflo_apply_nodal_projection.cpp:140-154).  Nodes
+    covered by the patch are excluded: there the coarse data is slaved
+    to the average-down of the fine solution (in the reference too),
+    and the pure-coarse stencil is never part of the solved system.
+
+    Measured (this deck, 3 steps): uncovered max |div| drops 1.2e-4 ->
+    5.6e-6 with the sync on (~21x)."""
+    from incflo_tpu.ops import multigrid as mg
+    deck = """
+amr.n_cell = 16 16 32
+amr.max_level = 1
+amr.patch_mode = slab
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 0.5 0.5 1.0
+geometry.is_periodic = 1 1 0
+zlo.type = "sw"
+zhi.type = "sw"
+incflo.probtype = 5
+incflo.gravity = 0. 0. -0.1
+incflo.constant_density = false
+incflo.advect_tracer = true
+incflo.mu = 0.001
+incflo.mu_s = 0.001
+incflo.gradrhoerr = 0.1
+incflo.cfl = 0.5
+"""
+    def run(sync):
+        cfg = IncfloConfig.from_text(
+            deck + f"amr.composite_sync = {1 if sync else 0}\n")
+        amr = SlabAMRSimulation(cfg)
+        s = amr.init_state()
+        for _ in range(3):
+            s = amr.advance(s)
+        sim0 = amr.sim0
+        lvl = s.levels[0].level
+        upads = sim0._pad_vel_for_divergence(lvl.velocity,
+                                             jnp.ones((), sim0.dtype))
+        div = np.abs(np.asarray(mg.nodal_divergence(upads, sim0.grid.dx)))
+        umax = float(np.abs(np.asarray(lvl.velocity)).max())
+        # uncovered nodes: strictly outside the slab's node range
+        ax = amr.axis
+        lo, hi = amr.bounds[1]
+        idx = np.arange(div.shape[ax])
+        div_out = np.compress((idx < lo) | (idx > hi), div, axis=ax)
+        dx_min = min(sim0.grid.dx)
+        return div_out.max() / max(umax / dx_min, 1e-30)
+
+    d_off = run(False)
+    d_on = run(True)
+    assert d_on < 0.25 * d_off or d_on < 1e-6, (d_on, d_off)
+    assert d_on < 5e-5, d_on
+
+
+def _two_level_taylor_error(n):
+    """Decaying Taylor vortex (probtype 2) on a two-level slab hierarchy:
+    a static region-tagged x-band [0.75, 1.25] of the [0,2]^2 box is
+    refined 2x; the translating vortex crosses the CF boundary every
+    period.  Returns the coarse-level L2 error of u vs the exact
+    solution (reference convergence harness, incflo_error.cpp:60-113)
+    at fixed T with dt ~ 1/n."""
+    text = f"""
+amr.n_cell = {n} {n}
+amr.max_level = 1
+amr.patch_mode = slab
+amr.regrid_int = -1
+geometry.prob_lo = 0. 0.
+geometry.prob_hi = 2. 2.
+geometry.is_periodic = 1 1
+incflo.probtype = 2
+incflo.mu = 0.001
+incflo.ro_0 = 1.
+incflo.fixed_dt = {0.256 / n}
+max_step = {n // 4}
+incflo.diffusion_type = 0
+incflo.initial_iterations = 3
+incflo.tag_region = true
+incflo.tag_region_lo = 0.75 0.0
+incflo.tag_region_hi = 1.25 2.0
+incflo.use_godunov = false
+"""
+    cfg = IncfloConfig.from_text(text)
+    amr = SlabAMRSimulation(cfg)
+    s = amr.init_state()
+    for _ in range(cfg.max_step):
+        s = amr.advance(s)
+    lvl0 = s.levels[0].level
+    t = float(s.t)
+    xc = (np.arange(n) + 0.5) * (2.0 / n)
+    x, y = xc.reshape(-1, 1), xc.reshape(1, -1)
+    u0 = v0 = 1.0
+    omega = np.pi ** 2 * 0.001
+    u_ex = u0 - np.cos(np.pi * (x - u0 * t)) * np.sin(np.pi * (y - v0 * t)) \
+        * np.exp(-2 * omega * t)
+    err = np.abs(np.asarray(lvl0.velocity[..., 0]) - u_ex)
+    lo, hi = amr.bounds[1]
+    sl = [slice(None)] * err.ndim
+    sl[amr.axis] = slice(lo + 2, hi - 2)   # refined rows away from CF
+    inner = err[tuple(sl)]
+    return {"l1": err.mean(), "l2": np.sqrt(np.mean(err ** 2)),
+            "inner_l2": np.sqrt(np.mean(inner ** 2))}
+
+
+@pytest.mark.slow
+def test_two_level_taylor_vortex_convergence():
+    """Velocity convergence ACROSS the coarse-fine boundary (VERDICT r2
+    Next #4 done-criterion): the two-level hierarchy must not degrade
+    the scheme's order.  The vortex advects through the refined band, so
+    the error includes the CF ghost fill, the CF solver closures, and
+    the composite pressure exchange.
+
+    Expected orders: a non-subcycled two-level advance WITHOUT reflux
+    registers -- the reference keeps none either (no `reflux` anywhere
+    in src/) -- carries an O(h) advective flux-mismatch layer on the
+    codimension-1 CF boundary, which the background flow smears over an
+    O(1) region.  Global norms are therefore capped near order 1.5 (the
+    same discretization class as the reference), while the refined
+    interior converges at full 2nd order.  Measured (2026-08): L2 order
+    1.52, L1 order 1.49, patch-interior L2 ratio ~4.9x (order 2.3).
+    n=32/64 (at n=16 the block-padded slab covers the whole domain and
+    there is no CF boundary to test)."""
+    e32 = _two_level_taylor_error(32)
+    e64 = _two_level_taylor_error(64)
+    order_l1 = np.log2(e32["l1"] / e64["l1"])
+    order_l2 = np.log2(e32["l2"] / e64["l2"])
+    order_in = np.log2(e32["inner_l2"] / e64["inner_l2"])
+    assert order_l1 > 1.35, f"CF L1 order {order_l1} ({e32}, {e64})"
+    assert order_l2 > 1.35, f"CF L2 order {order_l2} ({e32}, {e64})"
+    assert order_in > 1.7, f"patch-interior order {order_in} ({e32}, {e64})"
