@@ -56,6 +56,8 @@ nodal_proj.mg_rtol = {tol}
 nodal_proj.mg_atol = {atol}
 scalar_diffusion.mg_rtol = {tol}
 scalar_diffusion.mg_atol = {atol}
+tensor_diffusion.mg_rtol = {tol}
+tensor_diffusion.mg_atol = {atol}
 stop_time = -1
 max_step = 1000000
 """

@@ -13,9 +13,13 @@ from incflo_tpu.ops import multigrid as mg
 
 @pytest.fixture(autouse=True)
 def _interpret(monkeypatch):
-    from incflo_tpu.ops import pallas_cell, pallas_nodal
+    from incflo_tpu.ops import pallas_cell, pallas_guard, pallas_nodal
     monkeypatch.setattr(pallas_nodal, "INTERPRET", True)
     monkeypatch.setattr(pallas_cell, "INTERPRET", True)
+    # the sharding guard is process-global and sticky: a sharded-sim test
+    # running earlier in the same process would leave it set and silently
+    # disable the kernels under test here
+    monkeypatch.setattr(pallas_guard, "_sharded", False)
     yield
 
 
