@@ -697,7 +697,8 @@ class SlabAMRSimulation:
         if fn is None:
             fn = jax.jit(self._advance_impl)
             self._adv_cache[key] = fn
-        out = PatchState(fn(list(state.levels)))
+        out = PatchState(fn(list(state.levels),
+                            [sim._ctx() for sim in self.sims]))
         # the traced context arrays stored on each PatchSim during the
         # jit trace must not leak into later host-side consumers
         # (plotfiles, regrid, checkpoint ghost fills): refresh with the
@@ -709,7 +710,19 @@ class SlabAMRSimulation:
             out = self.regrid(out)
         return out
 
-    def _advance_impl(self, states: List[SimState]) -> List[SimState]:
+    def _advance_impl(self, states: List[SimState],
+                      ctxs=None) -> List[SimState]:
+        # Per-level device contexts (prebuilt solvers, EB arrays) arrive
+        # as jit arguments and are swapped in for the whole hierarchy
+        # advance (incl. reproject / composite sync) so no coefficient
+        # hierarchy lowers as a literal constant (Simulation._ctx).
+        if ctxs is not None:
+            saved = [sim._swap_ctx(c) for sim, c in zip(self.sims, ctxs)]
+            try:
+                return self._advance_impl(states, None)
+            finally:
+                for sim, sv in zip(self.sims, saved):
+                    sim._swap_ctx(sv)
         # one dt for the whole hierarchy (no subcycling)
         dt = self.sim0.peek_dt(states[0])
         for i in range(1, len(self.sims)):

@@ -99,7 +99,15 @@ def _maxnorm(x):
 
 @dataclasses.dataclass(frozen=True)
 class CellLevel:
-    """Static+array context for one MG level of a cell-centered solve."""
+    """Static+array context for one MG level of a cell-centered solve.
+
+    Registered as a jax pytree (arrays + alpha/beta are leaves) so
+    prebuilt solver hierarchies can be passed INTO jitted steps as
+    arguments.  Closure-capturing them instead inlines every level's
+    coefficient arrays as literal constants in the lowered module --
+    ~46 MB of MLIR at 128^3-class and a 2.5 GB unserializable
+    TpuExecutableProto at 256-class (measured; the axon remote-compile
+    hard-fails there)."""
     dx: Tuple[float, ...]
     bc_lo: Tuple[int, ...]        # SolverBC per axis
     bc_hi: Tuple[int, ...]
@@ -109,6 +117,12 @@ class CellLevel:
     bcoef: Tuple[jnp.ndarray, ...]        # per axis, faces (n+1 along axis)
     ebc: Optional[jnp.ndarray] = None     # EB Dirichlet-wall coefficient:
                                           # L += beta * ebc * phi
+
+
+jax.tree_util.register_dataclass(
+    CellLevel,
+    data_fields=["alpha", "beta", "acoef", "bcoef", "ebc"],
+    meta_fields=["dx", "bc_lo", "bc_hi"])
 
 
 def _cell_pad_hom(x, lev: CellLevel):
@@ -542,6 +556,25 @@ class CellSolver:
                           maxiter=maxiter, presmooth=presmooth)
 
 
+def _cellsolver_flatten(s):
+    return ((s.levels, s.diags),
+            (s.ndim, s.nu1, s.nu2, s.nu_bottom, s.singular))
+
+
+def _cellsolver_unflatten(aux, children):
+    obj = object.__new__(CellSolver)
+    obj.levels, obj.diags = children
+    obj.ndim, obj.nu1, obj.nu2, obj.nu_bottom, obj.singular = aux
+    return obj
+
+
+# prebuilt solvers ride the jitted step as ARGUMENT pytrees (see
+# CellLevel docstring); unflatten bypasses __init__ (which would try to
+# re-coarsen tracer coefficient arrays)
+jax.tree_util.register_pytree_node(
+    CellSolver, _cellsolver_flatten, _cellsolver_unflatten)
+
+
 # =====================================================================
 # Nodal operator: L(phi) = D(sigma * G(phi))
 # =====================================================================
@@ -555,6 +588,10 @@ class NodalLevel:
     sigma: Optional[jnp.ndarray]            # (cells); dropped by with_stencil
     sigma_pad: Optional[jnp.ndarray] = None  # padded by 1 per axis
     cells: Optional[Tuple[int, ...]] = None
+
+    # pytree registration below (after the class body): sigma/sigma_pad
+    # are leaves so prebuilt nodal hierarchies ride jit ARGUMENTS rather
+    # than being inlined as literal constants (see CellLevel docstring)
 
     def with_stencil(self):
         s = self.sigma
@@ -573,6 +610,12 @@ class NodalLevel:
         barrier they fuse into the consuming apply."""
         phi, sp = jax.lax.optimization_barrier((phi, self.sigma_pad))
         return phi, dataclasses.replace(self, sigma_pad=sp)
+
+
+jax.tree_util.register_dataclass(
+    NodalLevel,
+    data_fields=["sigma", "sigma_pad"],
+    meta_fields=["dx", "periodic", "bc_lo", "bc_hi", "cells"])
 
 
 def _nodal_weight(lev: "NodalLevel", delta) -> float:
@@ -1034,3 +1077,19 @@ class NodalSolver:
         return jnp.stack(
             [_node_to_cellgrad(phi, lev, ax) for ax in range(self.ndim)],
             axis=-1)
+
+
+def _nodalsolver_flatten(s):
+    return ((s.levels, s.diags, s.dinvs),
+            (s.ndim, s.nu1, s.nu2, s.nu_bottom, s.singular))
+
+
+def _nodalsolver_unflatten(aux, children):
+    obj = object.__new__(NodalSolver)
+    obj.levels, obj.diags, obj.dinvs = children
+    obj.ndim, obj.nu1, obj.nu2, obj.nu_bottom, obj.singular = aux
+    return obj
+
+
+jax.tree_util.register_pytree_node(
+    NodalSolver, _nodalsolver_flatten, _nodalsolver_unflatten)

@@ -849,7 +849,31 @@ class Simulation:
             vel = vel * self.eb.fluid[..., None]
         return s._replace(level=lvl._replace(velocity=vel, p=p, gp=gp))
 
-    def _advance_impl(self, s: SimState, dt_force=None) -> SimState:
+    # -- device context: prebuilt solvers + EB arrays as jit ARGUMENTS --
+    # Closure-capturing these inlines every MG level's coefficient
+    # hierarchy (and the EB geometry) as literal constants in the
+    # lowered module: ~46 MB of MLIR at 128^3-class, and at 256-class a
+    # 2.5 GB TpuExecutableProto the axon remote-compile cannot
+    # serialize (measured hard failure).  Passed as pytree args they
+    # are ordinary device buffers.
+    def _ctx(self):
+        return (self._mac_solver, self._nodal_hat, self._diff_proto,
+                self.eb)
+
+    def _swap_ctx(self, ctx):
+        saved = self._ctx()
+        (self._mac_solver, self._nodal_hat, self._diff_proto,
+         self.eb) = ctx
+        return saved
+
+    def _advance_impl(self, s: SimState, ctx=None,
+                      dt_force=None) -> SimState:
+        if ctx is not None:
+            saved = self._swap_ctx(ctx)
+            try:
+                return self._advance_impl(s, None, dt_force)
+            finally:
+                self._swap_ctx(saved)
         cfg = self.cfg
         old = s.level
         vf = self.compute_vel_forces(old.density, old.tracer, old.tracer,
@@ -872,7 +896,9 @@ class Simulation:
         """One time step.  donate=True reuses the old state's device
         buffers for the new state (lower peak memory; the old SimState
         must not be read afterwards)."""
-        return self._advance_donated(s) if donate else self._advance(s)
+        ctx = self._ctx()
+        return self._advance_donated(s, ctx) if donate \
+            else self._advance(s, ctx)
 
     def advance_n(self, s: SimState, n: int) -> SimState:
         """n time steps in ONE device dispatch (lax.scan over the step).
@@ -883,20 +909,27 @@ class Simulation:
         pattern as a scanned training loop."""
         fn = self._advance_n_cache.get(n)
         if fn is None:
-            def multi(state):
+            def multi(state, ctx):
                 def body(c, _):
-                    return self._advance_impl(c), None
+                    return self._advance_impl(c, ctx), None
                 out, _ = jax.lax.scan(body, state, None, length=n)
                 return out
             fn = jax.jit(multi)
             self._advance_n_cache[n] = fn
-        return fn(s)
+        return fn(s, self._ctx())
 
     # ------------------------------------------------------------------
     # initialization (reference InitData / InitialProjection /
     # InitialIterations, setup/init.cpp:228-300)
     # ------------------------------------------------------------------
-    def _initial_projection_impl(self, level: LevelState) -> LevelState:
+    def _initial_projection_impl(self, level: LevelState,
+                                 ctx=None) -> LevelState:
+        if ctx is not None:
+            saved = self._swap_ctx(ctx)
+            try:
+                return self._initial_projection_impl(level, None)
+            finally:
+                self._swap_ctx(saved)
         vel, p, gp, res, it = self.apply_projection(
             level.velocity, level.velocity, level.density, level.gp,
             level.p, jnp.asarray(1.0, self.dtype), False,
@@ -905,9 +938,15 @@ class Simulation:
         return level._replace(velocity=vel, p=jnp.zeros_like(level.p),
                               gp=jnp.zeros_like(level.gp))
 
-    def _initial_iteration_impl(self, s: SimState) -> SimState:
+    def _initial_iteration_impl(self, s: SimState, ctx=None) -> SimState:
         """One pressure iteration: predictor in incremental mode, then
         discard the state update, keeping p/gp."""
+        if ctx is not None:
+            saved = self._swap_ctx(ctx)
+            try:
+                return self._initial_iteration_impl(s, None)
+            finally:
+                self._swap_ctx(saved)
         star, aux = self.apply_predictor(s.level, s.dt, True,
                                          jnp.zeros((), self.dtype))
         lvl = s.level._replace(p=star.p, gp=star.gp, mac_phi=star.mac_phi)
@@ -925,7 +964,7 @@ class Simulation:
         s = SimState(level=level, t=zero, dt=zero, prev_dt=zero,
                      prev_prev_dt=zero, step=jnp.zeros((), jnp.int32))
         if cfg.do_initial_proj:
-            s = s._replace(level=self._init_project(s.level))
+            s = s._replace(level=self._init_project(s.level, self._ctx()))
         if cfg.initial_iterations > 0:
             vf = self.compute_vel_forces(s.level.density, s.level.tracer,
                                          s.level.tracer, s.level.gp)
@@ -933,7 +972,7 @@ class Simulation:
                                   initialization=True)
             s = s._replace(dt=dt0)
             for _ in range(cfg.initial_iterations):
-                s = self._initial_iteration(s)
+                s = self._initial_iteration(s, self._ctx())
         return s
 
     # ------------------------------------------------------------------

@@ -59,16 +59,20 @@ tensor_diffusion.mg_atol = 1e-7
 """
 
 
-def measure(name, fn, carry0, k=K):
-    """Scan-harness timing: ms per iteration of fn (carry -> carry)."""
+def measure(name, fn, carry0, k=K, const=None):
+    """Scan-harness timing: ms per iteration of fn(carry, const) ->
+    carry.  `const` (e.g. the solver context) is threaded as a jit
+    ARGUMENT so large coefficient hierarchies never lower as literal
+    constants (the 256-class executable-size failure)."""
     @jax.jit
-    def run(c0):
-        return lax.scan(lambda c, _: (fn(c), None), c0, None, length=k)[0]
+    def run(c0, cst):
+        return lax.scan(lambda c, _: (fn(c, cst), None), c0, None,
+                        length=k)[0]
 
-    r = run(carry0)                      # compile + warm
+    r = run(carry0, const)               # compile + warm
     float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))
     t0 = time.perf_counter()
-    r = run(carry0)
+    r = run(carry0, const)
     float(jnp.sum(jax.tree_util.tree_leaves(r)[0]))
     dtms = (time.perf_counter() - t0) / k * 1e3
     print(f"{name:28s} {dtms:8.3f} ms")
@@ -135,9 +139,22 @@ def main():
         jnp.zeros((), sim.dtype))
     print(f"  nodal solve: {int(nit)} iters, res {float(nres):.2e}")
 
+    ctx = sim._ctx()
+
+    def in_ctx(f):
+        """Run f under a trace-time solver-context swap so prebuilt
+        hierarchies come from the jit argument, not the closure."""
+        def g(c, cst):
+            saved = sim._swap_ctx(cst)
+            try:
+                return f(c, cst)
+            finally:
+                sim._swap_ctx(saved)
+        return g
+
     t = {}
     t["grow+forces+eta"] = measure(
-        "grow+forces+eta", lambda v: chain(v, (
+        "grow+forces+eta", lambda v, _: chain(v, (
             sim.grow_vel(v, ng),
             sim.compute_vel_forces(rho, lvl.tracer, lvl.tracer, lvl.gp),
             diffusion.eta_to_faces(
@@ -145,37 +162,39 @@ def main():
         vel)
     if divtau_o is not None:
         t["divtau"] = measure(
-            "divtau", lambda v: chain(v, diffusion.compute_divtau(
+            "divtau", lambda v, _: chain(v, diffusion.compute_divtau(
                 v, sim.grow_vel(v, ng), rho, eta_faces, eta_g1, cfg,
                 grid, ng, eb=None)), vel)
     t["predict"] = measure(
-        "predict", lambda vg: chain(vg, sim.godunov.predict(
+        "predict", lambda vg, _: chain(vg, sim.godunov.predict(
             vg, vf_g, dt, ng, sim.vel_bcrec)), vel_g)
     t["mac_project"] = measure(
-        "mac_project", lambda u0: chain(
+        "mac_project", lambda u0, cst: chain(
             u0, mac_projection.project_mac_velocities(
                 [u0] + list(umac_raw[1:]), beta, grid, cfg.bc_kind,
                 phi0=mac_phi, rtol=cfg.mac_mg_rtol, atol=cfg.mac_mg_atol,
                 maxiter=cfg.mac_mg_maxiter, eb=None,
-                prebuilt_solver=sim._mac_solver)[:2]), umac_raw[0])
+                prebuilt_solver=cst[0])[:2]), umac_raw[0], const=ctx)
     t["advect_u"] = measure(
-        "advect_u", lambda vg: chain(vg, sim.godunov.advect(
+        "advect_u", lambda vg, _: chain(vg, sim.godunov.advect(
             vg, umac, vf_g, dt, ng, sim.vel_bcrec, [0] * grid.ndim, True)),
         vel_g)
     if cfg.diff_type in (1, 2):
         t["diffuse_vel"] = measure(
-            "diffuse_vel", lambda v: chain(v, diffusion.diffuse_velocity(
+            "diffuse_vel",
+            lambda v, cst: chain(v, diffusion.diffuse_velocity(
                 v, rho, eta_faces, dt_diff, cfg, grid, eb=None,
                 eta_g1=eta_g1, grow_fn=lambda q: sim.grow_vel(q, ng), ng=ng,
                 grow_hom_fn=lambda q: sim.grow_vel_hom(q, ng),
-                prebuilt_solver=sim._diff_proto)), vel_star0)
+                prebuilt_solver=cst[2])), vel_star0, const=ctx)
     t["nodal_project"] = measure(
-        "nodal_project", lambda v: chain(v, sim.apply_projection(
+        "nodal_project", in_ctx(lambda v, _: chain(v, sim.apply_projection(
             v, vel, rho, lvl.gp, lvl.p, dt, False,
-            jnp.zeros((), sim.dtype))[:3]), vel_star)
+            jnp.zeros((), sim.dtype))[:3])), vel_star, const=ctx)
     t["FULL advance"] = measure(
         "FULL advance",
-        lambda st: sim._advance_impl(st, dt_force=dt), s, k=max(K // 3, 5))
+        lambda st, cst: sim._advance_impl(st, cst, dt_force=dt), s,
+        k=max(K // 3, 5), const=ctx)
     accounted = sum(v for p, v in t.items() if p != "FULL advance")
     print(f"{'sum of phases':28s} {accounted:8.3f} ms")
     cells = N * N * NZ
