@@ -166,7 +166,7 @@ class PatchSim(Simulation):
                 bcr[:, ax, side] = BCType.cf_fill
         for (ax, side) in self.cf_interior:
             self.force_bcrec[:, ax, side] = BCType.foextrap
-        self._ctx = None
+        self._ctx_set = False
         self._base_evs = (self.vel_ev, self.den_ev, self.tra_ev)
 
     # -- context ------------------------------------------------------
@@ -285,7 +285,7 @@ class PatchSim(Simulation):
         # nodal Dirichlet values: prolong the parent nodal p window
         self._nodal_dvals = self._nodal_dvals_from(parent_lvl.p)
         self._nodal_dvals_override = None
-        self._ctx = True
+        self._ctx_set = True
 
     def _nodal_dvals_from(self, parent_p):
         """CF Dirichlet node values from a parent nodal field."""
@@ -300,12 +300,12 @@ class PatchSim(Simulation):
 
     # -- hooks consumed by Simulation ---------------------------------
     def _mac_bc_args(self):
-        assert self._ctx, "PatchSim.set_context() not called"
+        assert self._ctx_set, "PatchSim.set_context() not called"
         ov = {f: mg.SolverBC.DIRICHLET for f in self.cf_interior}
         return {"bc_override": ov, "phi_bvals": dict(self._mac_bvals)}
 
     def _nodal_bc_args(self):
-        assert self._ctx
+        assert self._ctx_set
         ov = {f: mg.SolverBC.DIRICHLET for f in self.cf_interior}
         if self._nodal_dvals_override is not None:
             # composite-sync correction solve: the Dirichlet data is the
@@ -314,7 +314,7 @@ class PatchSim(Simulation):
         return ov, dict(self._nodal_dvals)
 
     def _diff_bc_args(self, field):
-        assert self._ctx
+        assert self._ctx_set
         ov = {f: mg.SolverBC.DIRICHLET for f in self.cf_interior}
         return ov, dict(self._vel_bvals if field == "vel"
                         else self._tra_bvals)
@@ -328,7 +328,7 @@ class PatchSim(Simulation):
         to u = -sigma grad(harmonic extension) != 0); the reference
         avoids this by running InitialProjection on the composite
         hierarchy."""
-        assert self._ctx
+        assert self._ctx_set
         base = self.init_from_parent(parent_state)
         own = probs.init_fluid(self.cfg, self.grid, self.dtype)
         lvl = base.level._replace(velocity=own.velocity,
@@ -345,7 +345,7 @@ class PatchSim(Simulation):
         """Fine state purely by interpolation of the parent (the fill
         for newly refined cells; the caller copies surviving old fine
         data over the overlap)."""
-        assert self._ctx
+        assert self._ctx_set
         nd = self.grid.ndim
 
         def interior(full):
