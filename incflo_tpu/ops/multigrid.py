@@ -370,6 +370,8 @@ class CellSolver:
         self.diags = [cell_diag(l) for l in levels]
         self.singular = (alpha == 0.0) and (ebc is None) and all(
             b != SolverBC.DIRICHLET for b in list(bc_lo) + list(bc_hi))
+        from incflo_tpu.ops import spectral
+        self.symbol = spectral.cell_symbol(levels[0])
 
     def with_beta(self, beta):
         """Cheap re-parameterization: same coefficient hierarchy, new
@@ -481,6 +483,18 @@ class CellSolver:
             x0 = jnp.zeros_like(rhs)
         if self.singular:
             rhs = rhs - jnp.mean(rhs)
+
+        # fully-periodic constant-coefficient operators: exact FFT
+        # direct solve of the SAME discrete operator (ops/spectral.py)
+        from incflo_tpu.ops import spectral
+        if (self.symbol is not None and spectral.enabled()
+                and tuple(rhs.shape[:self.ndim]) == self.symbol.cells
+                and (rhs.ndim > self.ndim or not self.symbol.batched)):
+            x = spectral.solve(self.symbol, rhs, lev.alpha, lev.beta,
+                               self.singular)
+            res = _maxnorm(rhs - cell_apply(x, lev))
+            return x, res, jnp.array(1)
+
         bnorm = _maxnorm(rhs)
         tol = jnp.maximum(rtol * bnorm, atol)
 
@@ -557,13 +571,13 @@ class CellSolver:
 
 
 def _cellsolver_flatten(s):
-    return ((s.levels, s.diags),
+    return ((s.levels, s.diags, s.symbol),
             (s.ndim, s.nu1, s.nu2, s.nu_bottom, s.singular))
 
 
 def _cellsolver_unflatten(aux, children):
     obj = object.__new__(CellSolver)
-    obj.levels, obj.diags = children
+    obj.levels, obj.diags, obj.symbol = children
     obj.ndim, obj.nu1, obj.nu2, obj.nu_bottom, obj.singular = aux
     return obj
 
@@ -980,6 +994,8 @@ class NodalSolver:
                 jnp.where(ok, 1.0 / jnp.where(ok, diag, 1.0), 0.0))
         self.singular = all(
             b != SolverBC.DIRICHLET for b in list(bc_lo) + list(bc_hi))
+        from incflo_tpu.ops import spectral
+        self.symbol = spectral.nodal_symbol(levels[0])
 
     def _sigma_interior(self, li):
         lev = self.levels[li]
@@ -1045,6 +1061,14 @@ class NodalSolver:
                 bc = lev.bc_lo[ax] if side == 0 else lev.bc_hi[ax]
                 if bc == SolverBC.DIRICHLET:
                     rhs = _set_slab(rhs, ax, 0 if side == 0 else -1, val)
+        from incflo_tpu.ops import spectral
+        if (self.symbol is not None and dirichlet_vals is None
+                and spectral.enabled()
+                and tuple(rhs.shape) == self.symbol.cells):
+            x = spectral.solve(self.symbol, rhs, 0.0, 1.0, self.singular)
+            res = _maxnorm(rhs - nodal_apply(x, lev))
+            return x, res, jnp.array(1)
+
         bnorm = _maxnorm(rhs)
         tol = jnp.maximum(rtol * bnorm, atol)
 
@@ -1080,13 +1104,13 @@ class NodalSolver:
 
 
 def _nodalsolver_flatten(s):
-    return ((s.levels, s.diags, s.dinvs),
+    return ((s.levels, s.diags, s.dinvs, s.symbol),
             (s.ndim, s.nu1, s.nu2, s.nu_bottom, s.singular))
 
 
 def _nodalsolver_unflatten(aux, children):
     obj = object.__new__(NodalSolver)
-    obj.levels, obj.diags, obj.dinvs = children
+    obj.levels, obj.diags, obj.dinvs, obj.symbol = children
     obj.ndim, obj.nu1, obj.nu2, obj.nu_bottom, obj.singular = aux
     return obj
 

@@ -1,0 +1,109 @@
+"""FFT direct-solve path (ops/spectral.py): eligibility + equality
+with the geometric-MG path on fully-periodic constant-coefficient
+operators (the operator class of the periodic benchmark decks)."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from incflo_tpu.ops import multigrid as mg
+
+ND = 3
+N = (16, 12, 8)
+DX = (1.0 / 16, 1.0 / 12, 1.0 / 8)
+PER = [mg.SolverBC.PERIODIC] * ND
+
+
+def _faces(val, comp=()):
+    return tuple(
+        jnp.full(tuple(n + (1 if ax == d else 0) for ax, n in enumerate(N))
+                 + comp, val, jnp.float32)
+        for d in range(ND))
+
+
+def _mg_solve(solver, *args, **kw):
+    os.environ["INCFLO_SPECTRAL"] = "0"
+    try:
+        return solver.solve(*args, **kw)
+    finally:
+        os.environ.pop("INCFLO_SPECTRAL")
+
+
+def test_cell_poisson_spectral_matches_mg():
+    s = mg.CellSolver(DX, PER, PER, alpha=0.0, beta=1.0, acoef=None,
+                      bcoef=_faces(0.7))
+    assert s.symbol is not None
+    rng = np.random.default_rng(0)
+    rhs = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    rhs = rhs - jnp.mean(rhs)
+    x, res, it = s.solve(rhs, rtol=1e-6, atol=0.0)
+    assert int(it) == 1                      # direct solve, no iteration
+    assert float(res) < 1e-5 * float(jnp.max(jnp.abs(rhs)))
+    x2, _, it2 = _mg_solve(s, rhs, rtol=1e-6, atol=0.0)
+    assert int(it2) > 1                      # MG actually iterated
+    assert float(jnp.max(jnp.abs(x - x2))) < 5e-7
+
+
+def test_cell_helmholtz_batched_with_beta():
+    """The diffusion-solve shape: batched components, per-component
+    face coefficients (tensor-diagonal 2x), beta re-scaled by dt."""
+    scale = jnp.asarray([1.0, 2.0, 1.0], jnp.float32)
+    bco = tuple(b * scale for b in _faces(0.01, comp=(1,)))
+    acoef = jnp.full(N + (1,), 1.2, jnp.float32)
+    s = mg.CellSolver(DX, PER, PER, alpha=1.0, beta=1.0, acoef=acoef,
+                      bcoef=bco)
+    s = s.with_beta(jnp.asarray(0.37, jnp.float32))
+    assert s.symbol is not None and s.symbol.batched
+    rng = np.random.default_rng(1)
+    rhs = jnp.asarray(rng.standard_normal(N + (3,)), jnp.float32)
+    x, res, it = s.solve(rhs, rtol=1e-7, atol=0.0)
+    assert int(it) == 1
+    x2, _, _ = _mg_solve(s, rhs, rtol=1e-7, atol=0.0)
+    assert float(jnp.max(jnp.abs(x - x2))) < 1e-6
+
+
+def test_nodal_spectral_matches_mg():
+    sig = jnp.full(N, 0.9, jnp.float32)
+    s = mg.NodalSolver(DX, (True,) * ND, PER, PER, sig)
+    assert s.symbol is not None
+    rng = np.random.default_rng(2)
+    rhs = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    rhs = rhs - jnp.mean(rhs)
+    x, res, it = s.solve(rhs, rtol=1e-5, atol=0.0)
+    assert int(it) == 1
+    assert float(res) < 1e-5 * float(jnp.max(jnp.abs(rhs)))
+    x2, _, _ = _mg_solve(s, rhs, rtol=1e-5, atol=0.0)
+    assert float(jnp.max(jnp.abs(x - x2))) < 1e-5
+
+
+@pytest.mark.parametrize("case", ["nonperiodic", "varcoef", "eb"])
+def test_ineligible_operators_have_no_symbol(case):
+    if case == "nonperiodic":
+        bc = [mg.SolverBC.NEUMANN] + [mg.SolverBC.PERIODIC] * (ND - 1)
+        s = mg.CellSolver(DX, bc, bc, alpha=0.0, beta=1.0, acoef=None,
+                          bcoef=_faces(1.0))
+    elif case == "varcoef":
+        bco = list(_faces(1.0))
+        bco[0] = bco[0].at[(0,) * ND].set(2.0)
+        s = mg.CellSolver(DX, PER, PER, alpha=0.0, beta=1.0, acoef=None,
+                          bcoef=tuple(bco))
+    else:
+        ebc = jnp.zeros(N, jnp.float32).at[(2,) * ND].set(1.0)
+        s = mg.CellSolver(DX, PER, PER, alpha=0.0, beta=1.0, acoef=None,
+                          bcoef=_faces(1.0), ebc=ebc)
+    assert s.symbol is None
+
+
+def test_sharded_guard_disables_spectral():
+    from incflo_tpu.ops import pallas_guard, spectral
+    s = mg.CellSolver(DX, PER, PER, alpha=0.0, beta=1.0, acoef=None,
+                      bcoef=_faces(1.0))
+    assert s.symbol is not None
+    pallas_guard.set_sharded(True)
+    try:
+        assert not spectral.enabled()
+    finally:
+        pallas_guard.set_sharded(False)
+    assert spectral.enabled()
