@@ -189,9 +189,11 @@ def _child_main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     n = int(os.environ.get("INCFLO_BENCH_N", "128"))
-    # 10-step batches: the warmup batch carries the run past the dt
-    # ramp-up so the timed batch measures the steady production path
-    steps = int(os.environ.get("INCFLO_BENCH_STEPS", "10"))
+    # 20-step batches: the warmup batch carries the run past the dt
+    # ramp-up so the timed batch measures the steady production path;
+    # 20 matches the plot-cadence batching of real stop_time runs
+    # (main.py) and amortizes the ~2.3 ms tunnel dispatch to ~0.1 ms/step
+    steps = int(os.environ.get("INCFLO_BENCH_STEPS", "20"))
     dtype = os.environ.get("INCFLO_BENCH_DTYPE", "float32")
     config = os.environ.get("INCFLO_BENCH_CONFIG", "shear3d")
     donate = os.environ.get("INCFLO_BENCH_DONATE", "0") == "1"

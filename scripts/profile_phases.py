@@ -191,9 +191,17 @@ def main():
         "nodal_project", in_ctx(lambda v, _: chain(v, sim.apply_projection(
             v, vel, rho, lvl.gp, lvl.p, dt, False,
             jnp.zeros((), sim.dtype))[:3])), vel_star, const=ctx)
+    t["compute_dt"] = measure(
+        "compute_dt", lambda v, _: chain(v, sim.compute_dt(
+            v, rho, sim.compute_vel_forces(rho, lvl.tracer, lvl.tracer,
+                                           lvl.gp), s)), vel)
     t["FULL advance"] = measure(
         "FULL advance",
         lambda st, cst: sim._advance_impl(st, cst, dt_force=dt), s,
+        k=max(K // 3, 5), const=ctx)
+    t["FULL advance+dt"] = measure(
+        "FULL advance+dt",
+        lambda st, cst: sim._advance_impl(st, cst), s,
         k=max(K // 3, 5), const=ctx)
     accounted = sum(v for p, v in t.items() if p != "FULL advance")
     print(f"{'sum of phases':28s} {accounted:8.3f} ms")

@@ -11,6 +11,14 @@ from incflo_tpu.ops import multigrid as mg
 PI = np.pi
 
 
+@pytest.fixture(autouse=True)
+def _force_mg_path(monkeypatch):
+    """These tests validate the geometric-MG iteration; periodic
+    constant-coefficient cases would otherwise take the spectral
+    direct-solve fast path (covered by test_spectral.py)."""
+    monkeypatch.setenv("INCFLO_SPECTRAL", "0")
+
+
 def _coords(n, ndim, centered=True):
     dx = 1.0 / n
     c = (np.arange(n) + (0.5 if centered else 0.0)) * dx

@@ -20,6 +20,9 @@ def _interpret(monkeypatch):
     # running earlier in the same process would leave it set and silently
     # disable the kernels under test here
     monkeypatch.setattr(pallas_guard, "_sharded", False)
+    # periodic constant-coefficient solves would take the spectral
+    # direct path and never reach the smoother kernels under test
+    monkeypatch.setenv("INCFLO_SPECTRAL", "0")
     yield
 
 

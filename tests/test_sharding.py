@@ -70,11 +70,15 @@ def _run_pair(cfg, mesh, nsteps=2):
     sim = Simulation(cfg)
     s0 = sim.init_state()
 
+    # build the shardings FIRST: it flips the global pallas/spectral
+    # guard, so the unsharded reference below runs the same (MG, jnp)
+    # numerics as the sharded step instead of the fast paths
+    shardings = pmesh.sim_state_shardings(s0, mesh)
+
     s_ref = s0
     for _ in range(nsteps):
         s_ref = sim.advance(s_ref)
 
-    shardings = pmesh.sim_state_shardings(s0, mesh)
     s_sh = jax.tree.map(jax.device_put, s0, shardings)
     step = jax.jit(sim._advance_impl, in_shardings=(shardings,),
                    out_shardings=shardings)

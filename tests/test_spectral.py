@@ -38,9 +38,10 @@ def test_cell_poisson_spectral_matches_mg():
     rng = np.random.default_rng(0)
     rhs = jnp.asarray(rng.standard_normal(N), jnp.float32)
     rhs = rhs - jnp.mean(rhs)
-    x, res, it = s.solve(rhs, rtol=1e-6, atol=0.0)
+    x, _, it = s.solve(rhs, rtol=1e-6, atol=0.0)
     assert int(it) == 1                      # direct solve, no iteration
-    assert float(res) < 1e-5 * float(jnp.max(jnp.abs(rhs)))
+    res = float(jnp.max(jnp.abs(rhs - mg.cell_apply(x, s.levels[0]))))
+    assert res < 1e-5 * float(jnp.max(jnp.abs(rhs)))
     x2, _, it2 = _mg_solve(s, rhs, rtol=1e-6, atol=0.0)
     assert int(it2) > 1                      # MG actually iterated
     assert float(jnp.max(jnp.abs(x - x2))) < 5e-7
@@ -58,8 +59,10 @@ def test_cell_helmholtz_batched_with_beta():
     assert s.symbol is not None and s.symbol.batched
     rng = np.random.default_rng(1)
     rhs = jnp.asarray(rng.standard_normal(N + (3,)), jnp.float32)
-    x, res, it = s.solve(rhs, rtol=1e-7, atol=0.0)
+    x, _, it = s.solve(rhs, rtol=1e-7, atol=0.0)
     assert int(it) == 1
+    res = float(jnp.max(jnp.abs(rhs - mg.cell_apply(x, s.levels[0]))))
+    assert res < 1e-5 * float(jnp.max(jnp.abs(rhs)))
     x2, _, _ = _mg_solve(s, rhs, rtol=1e-7, atol=0.0)
     assert float(jnp.max(jnp.abs(x - x2))) < 1e-6
 
@@ -71,9 +74,10 @@ def test_nodal_spectral_matches_mg():
     rng = np.random.default_rng(2)
     rhs = jnp.asarray(rng.standard_normal(N), jnp.float32)
     rhs = rhs - jnp.mean(rhs)
-    x, res, it = s.solve(rhs, rtol=1e-5, atol=0.0)
+    x, _, it = s.solve(rhs, rtol=1e-5, atol=0.0)
     assert int(it) == 1
-    assert float(res) < 1e-5 * float(jnp.max(jnp.abs(rhs)))
+    res = float(jnp.max(jnp.abs(rhs - mg.nodal_apply(x, s.levels[0]))))
+    assert res < 1e-5 * float(jnp.max(jnp.abs(rhs)))
     x2, _, _ = _mg_solve(s, rhs, rtol=1e-5, atol=0.0)
     assert float(jnp.max(jnp.abs(x - x2))) < 1e-5
 
