@@ -82,13 +82,42 @@ def test_nodal_spectral_matches_mg():
     assert float(jnp.max(jnp.abs(x - x2))) < 1e-5
 
 
-@pytest.mark.parametrize("case", ["nonperiodic", "varcoef", "eb"])
+@pytest.mark.parametrize("bc_kind", ["neumann", "dirichlet", "mixed"])
+def test_kron_fastdiag_nonperiodic_matches_mg(bc_kind):
+    """Wall/outflow axes: the cell operator is a Kronecker sum, so the
+    per-axis eigendecomposition diagonalizes it exactly (the direct
+    path for couette/Poiseuille-channel MAC + diffusion solves)."""
+    if bc_kind == "neumann":
+        lo = hi = [mg.SolverBC.NEUMANN] * ND
+        alpha, acoef = 0.0, None
+    elif bc_kind == "dirichlet":
+        lo = hi = [mg.SolverBC.DIRICHLET] * ND
+        alpha, acoef = 0.0, None
+    else:
+        lo = [mg.SolverBC.DIRICHLET, mg.SolverBC.NEUMANN,
+              mg.SolverBC.PERIODIC]
+        hi = [mg.SolverBC.NEUMANN, mg.SolverBC.NEUMANN,
+              mg.SolverBC.PERIODIC]
+        alpha, acoef = 1.0, jnp.full(N, 1.3, jnp.float32)
+    s = mg.CellSolver(DX, lo, hi, alpha=alpha, beta=0.05, acoef=acoef,
+                      bcoef=_faces(0.7))
+    assert s.symbol is not None and s.symbol.fwd is not None
+    rng = np.random.default_rng(3)
+    rhs = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    if s.singular:
+        rhs = rhs - jnp.mean(rhs)
+    x, _, it = s.solve(rhs, rtol=1e-6, atol=0.0)
+    assert int(it) == 1
+    res = float(jnp.max(jnp.abs(rhs - mg.cell_apply(x, s.levels[0]))))
+    assert res < 2e-5 * float(jnp.max(jnp.abs(rhs)))
+    x2, _, _ = _mg_solve(s, rhs, rtol=1e-8, atol=0.0)
+    assert float(jnp.max(jnp.abs(x - x2))) < 1e-4 * float(
+        jnp.max(jnp.abs(x2)) + 1e-30)
+
+
+@pytest.mark.parametrize("case", ["varcoef", "eb"])
 def test_ineligible_operators_have_no_symbol(case):
-    if case == "nonperiodic":
-        bc = [mg.SolverBC.NEUMANN] + [mg.SolverBC.PERIODIC] * (ND - 1)
-        s = mg.CellSolver(DX, bc, bc, alpha=0.0, beta=1.0, acoef=None,
-                          bcoef=_faces(1.0))
-    elif case == "varcoef":
+    if case == "varcoef":
         bco = list(_faces(1.0))
         bco[0] = bco[0].at[(0,) * ND].set(2.0)
         s = mg.CellSolver(DX, PER, PER, alpha=0.0, beta=1.0, acoef=None,
