@@ -11,9 +11,11 @@ weights are STATIC geometry so they are precomputed host-side.
 
 from __future__ import annotations
 
+import dataclasses
 import itertools
-from typing import List, NamedTuple, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -21,8 +23,14 @@ from incflo_tpu.eb.geometry import COVERED, CUT, REGULAR, EBData
 from incflo_tpu.grid import Grid
 
 
-class EBArrays(NamedTuple):
-    """Device-resident static cut-cell data (passed into the jit step)."""
+@dataclasses.dataclass(frozen=True)
+class EBArrays:
+    """Device-resident static cut-cell data (passed into the jit step).
+
+    Registered as a jax dataclass with `offsets` as METADATA: it is a
+    tuple of python-int stencil offsets consumed as static slice bounds
+    (eb/mol._ext); as a pytree leaf (the NamedTuple behavior) each int
+    would become a traced scalar under jit and break the slicing."""
     vfrac: jnp.ndarray
     afrac: Tuple[jnp.ndarray, ...]
     cut: jnp.ndarray          # float mask 1.0 where cut
@@ -53,6 +61,18 @@ class EBArrays(NamedTuple):
     wall_dist: Optional[jnp.ndarray] = None
     area_ov: Optional[jnp.ndarray] = None
     eb_normal: Optional[jnp.ndarray] = None
+
+    def _replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+jax.tree_util.register_dataclass(
+    EBArrays,
+    data_fields=["vfrac", "afrac", "cut", "covered", "fluid", "small",
+                 "eb_area", "nbr_conn", "vtot", "wtot_inv", "face_cent",
+                 "ccent_g2", "conn_g1", "lsq_minv_g1", "near_g1",
+                 "vfrac_oct", "wall_dist", "area_ov", "eb_normal"],
+    meta_fields=["offsets"])
 
 
 def _connectivity(eb: EBData, grid: Grid) -> Tuple[np.ndarray, list]:

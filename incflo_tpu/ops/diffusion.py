@@ -243,6 +243,69 @@ def _eb_wall_correction(u_g, eta_cell, ebc, grid, eb, ng):
     return jnp.stack(out, axis=-1) * eb.cut[..., None]
 
 
+def _eb_centroid_flux_correction(u_g, bcoefs, grid, eb, ng):
+    """Deferred correction upgrading cut-face viscous GRADIENTS from
+    face-center to face-fluid-centroid values (the other half of the
+    reference's second-order EB fluxes: MLEBABecLap/MLEBTensorOp
+    interpolate fluxes to face centroids in the apply; the coefficient
+    half is eta_to_faces' centroid interpolation).  Returns
+    div(b * (grad_centroid - grad_center)) evaluated on the previous
+    iterate -- added to the rhs it makes the solved system match the
+    centroid-flux discretization at convergence."""
+    import itertools
+    nd = grid.ndim
+    corr = 0.0
+    for d in range(nd):
+        if eb.face_cent is None:
+            break
+        t_axes = [a for a in range(nd) if a != d]
+        # face gradient with ONE transverse ghost (for centroid shifts)
+        v = u_g
+        for ax in range(nd):
+            t = ng - 1
+            v = window(v, ax, t, t)
+        # n+2 cells along d (one ghost each side) -> consecutive
+        # differences land exactly on the n+1 physical faces; one ghost
+        # remains on every transverse axis for the centroid shifts
+        g_ext = (window(v, d, 1, 0) - window(v, d, 0, 1)) / grid.dx[d]
+
+        def fshift(sgns):
+            a = g_ext
+            for ax in t_axes:
+                s = sgns.get(ax, 0)
+                a = window(a, ax, 1 + s, 1 - s)
+            return a
+
+        fc = eb.face_cent[d]
+        g0 = fshift({})
+        g_til = jnp.zeros_like(g0)
+        for picks in itertools.product((0, 1), repeat=len(t_axes)):
+            wgt = jnp.ones(g0.shape[:-1], g0.dtype)
+            chosen = [ax for ax, p in zip(t_axes, picks) if p]
+            for ax, p in zip(t_axes, picks):
+                c = fc[..., ax]
+                wgt = wgt * (jnp.abs(c) if p else 1.0 - jnp.abs(c))
+            if chosen:
+                term = jnp.zeros_like(g0)
+                for sgns in itertools.product((-1, 1), repeat=len(chosen)):
+                    sel = jnp.ones(g0.shape[:-1], bool)
+                    for ax, s in zip(chosen, sgns):
+                        c = fc[..., ax]
+                        sel = jnp.logical_and(
+                            sel, (c > 0) if s > 0 else (c <= 0))
+                    term = jnp.where(sel[..., None],
+                                     fshift(dict(zip(chosen, sgns))), term)
+            else:
+                term = g0
+            g_til = g_til + wgt[..., None] * term
+        df = bcoefs[d] * (g_til - g0)
+        corr = corr + (window(df, d, 1, 0) - window(df, d, 0, 1)) \
+            / grid.dx[d]
+    if isinstance(corr, float):
+        return None
+    return corr * eb.fluid[..., None]
+
+
 def compute_laps(tracer: jnp.ndarray, eta_faces_per_comp, cfg: IncfloConfig,
                  grid: Grid, eb=None) -> jnp.ndarray:
     """div(mu_s grad s) per tracer component (inhomogeneous BCs; EB walls
@@ -534,11 +597,17 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
                                           presmooth=4)
         if (eb is not None and eb.wall_dist is not None
                 and grow_fn is not None and cfg.eb_wall_order == 2):
-            # second-order EB no-slip wall: one deferred-correction
-            # re-solve with the wall flux upgraded from the first-order
-            # drag to the Taylor-exact 2u/d - n.grad(u) stencil
-            corr = _eb_wall_correction(grow_fn(out), eta_cell, ebc,
-                                       grid, eb, ng)
+            # second-order EB: one deferred-correction re-solve with
+            # (a) the wall flux upgraded from the first-order drag to
+            # the Taylor-exact 2u/d - n.grad(u) stencil and (b) cut-face
+            # gradients upgraded from face-center to face-centroid
+            # values (together the MLEBTensorOp flux discretization)
+            out_g = grow_fn(out)
+            corr = _eb_wall_correction(out_g, eta_cell, ebc, grid, eb, ng)
+            fcorr = _eb_centroid_flux_correction(out_g, eta_b, grid, eb,
+                                                 ng)
+            if fcorr is not None:
+                corr = corr + fcorr
             rhs = rhs + dt_diff * corr
             out, res, it = solver.solve_inhom(rhs, bvals, x0=out,
                                               rtol=rtol, atol=atol,
