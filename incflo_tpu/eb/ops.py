@@ -61,6 +61,22 @@ class EBArrays:
     wall_dist: Optional[jnp.ndarray] = None
     area_ov: Optional[jnp.ndarray] = None
     eb_normal: Optional[jnp.ndarray] = None
+    # Johansen-Colella wall-gradient probe statics: trilinear
+    # interpolation points along the inward wall normal at d1/d2 from
+    # the wall (ops/diffusion._eb_wall_correction).  probe_lo int32
+    # (cells, 2, D) lower-corner cell index (unwrapped), probe_frac
+    # (cells, 2, D) in [0,1), probe_ok float 1.0 where both probes'
+    # corners are regular fluid cells
+    probe_lo: Optional[jnp.ndarray] = None
+    probe_frac: Optional[jnp.ndarray] = None
+    probe_ok: Optional[jnp.ndarray] = None
+    # curvature correction statics: nearest cell per probe + validity of
+    # its +-1 neighborhood (subtracting the multilinear interpolation
+    # error 1/2 sum_d f(1-f) h^2 u''_dd makes probe reads exact for
+    # quadratics -- the trilinear read alone biases the wall gradient by
+    # the near-wall curvature)
+    probe_nn: Optional[jnp.ndarray] = None
+    probe_c2ok: Optional[jnp.ndarray] = None
 
     def _replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -71,7 +87,9 @@ jax.tree_util.register_dataclass(
     data_fields=["vfrac", "afrac", "cut", "covered", "fluid", "small",
                  "eb_area", "nbr_conn", "vtot", "wtot_inv", "face_cent",
                  "ccent_g2", "conn_g1", "lsq_minv_g1", "near_g1",
-                 "vfrac_oct", "wall_dist", "area_ov", "eb_normal"],
+                 "vfrac_oct", "wall_dist", "area_ov", "eb_normal",
+                 "probe_lo", "probe_frac", "probe_ok", "probe_nn",
+                 "probe_c2ok"],
     meta_fields=["offsets"])
 
 
@@ -228,6 +246,87 @@ def _lsq_statics(eb: EBData, grid: Grid, conn: np.ndarray, offsets):
     return ccent_g2, conn_g1, packed
 
 
+PROBE_D1 = 1.5   # probe distances from the wall, in units of min(dx)
+PROBE_D2 = 3.0
+
+
+def _wall_probes(eb: EBData, grid: Grid):
+    """Statics for the Johansen-Colella second-order EB wall gradient:
+    for every cut cell, two trilinear interpolation points along the
+    INWARD wall normal at d1/d2 = PROBE_D1/D2 * min(dx) from the wall.
+    A probe is usable only when all 2^D surrounding cells have their
+    center in the fluid (REGULAR, or cut with vfrac > 0.5 as the
+    standard center-in-fluid proxy -- a solid-side center would poison
+    the trilinear read); cells failing that keep the centroid-Taylor
+    fallback.
+    Reference discretization: MLEBABecLap/MLEBTensorOp EB-Dirichlet
+    flux stencils (src/diffusion/DiffusionTensorOp.cpp:32-43)."""
+    nd = grid.ndim
+    n = grid.n_cell
+    dx = np.asarray(grid.dx, np.float64)
+    if eb.wall_dist is None:
+        return None
+    hmin = dx.min()
+    ctr = np.stack(np.meshgrid(*[(np.arange(m) + 0.5) * dx[d]
+                                 for d, m in enumerate(n)],
+                               indexing="ij"), axis=-1)
+    xw = ctr + eb.centroid * dx - eb.wall_dist[..., None] * eb.eb_normal
+    cut = eb.flags == CUT
+    usable = (eb.flags == REGULAR) | (cut & (eb.vfrac > 0.5))
+    regp = np.pad(usable, 1, constant_values=False)
+    for d in range(nd):
+        if grid.periodic[d]:
+            sl_lo = [slice(1, -1)] * nd
+            sl_hi = [slice(1, -1)] * nd
+            sl_lo[d] = slice(0, 1)
+            sl_hi[d] = slice(-1, None)
+            src_hi = [slice(1, -1)] * nd
+            src_lo = [slice(1, -1)] * nd
+            src_hi[d] = slice(-2, -1)
+            src_lo[d] = slice(1, 2)
+            regp[tuple(sl_lo)] = regp[tuple(src_hi)]
+            regp[tuple(sl_hi)] = regp[tuple(src_lo)]
+    def usable_at(ci):
+        """All-usable test for integer cell indices ci (cells, D)."""
+        in_dom = np.ones(n, bool)
+        idx = []
+        for d in range(nd):
+            c = ci[..., d]
+            if grid.periodic[d]:
+                idx.append(c % n[d])
+            else:
+                in_dom &= (c >= 0) & (c < n[d])
+                idx.append(np.clip(c, 0, n[d] - 1))
+        return in_dom & regp[tuple(i + 1 for i in idx)]
+
+    lo_all, fr_all, nn_all = [], [], []
+    ok = cut & (eb.wall_dist > 0)
+    c2ok = np.ones(n + (2,), bool)
+    for k, dist in ((0, PROBE_D1 * hmin), (1, PROBE_D2 * hmin)):
+        p = xw + dist * eb.eb_normal              # physical probe point
+        g = p / dx - 0.5                          # cell-index space
+        lo = np.floor(g).astype(np.int64)
+        fr = g - lo
+        nn = np.rint(g).astype(np.int64)
+        lo_all.append(lo)
+        fr_all.append(fr)
+        nn_all.append(nn)
+        for corner in itertools.product((0, 1), repeat=nd):
+            ok = ok & usable_at(lo + np.asarray(corner))
+        # curvature-correction stencil: nn and its +-1 axis neighbors
+        cu = usable_at(nn)
+        for d in range(nd):
+            e = np.zeros(nd, np.int64)
+            e[d] = 1
+            cu = cu & usable_at(nn + e) & usable_at(nn - e)
+        c2ok[..., k] = cu
+    probe_lo = np.stack(lo_all, axis=-2)          # (cells, 2, D)
+    probe_frac = np.stack(fr_all, axis=-2)
+    probe_nn = np.stack(nn_all, axis=-2)
+    return (probe_lo, probe_frac, ok.astype(np.float64), probe_nn,
+            c2ok.astype(np.float64))
+
+
 def build_eb_arrays(eb: EBData, grid: Grid, dtype) -> EBArrays:
     conn, offsets = _connectivity(eb, grid)
     nd = grid.ndim
@@ -288,6 +387,11 @@ def build_eb_arrays(eb: EBData, grid: Grid, dtype) -> EBArrays:
         wall_dist=mk(eb.wall_dist) if eb.wall_dist is not None else None,
         area_ov=mk(_area_over_volume(eb, grid)),
         eb_normal=mk(eb.eb_normal),
+        **(dict(probe_lo=jnp.asarray(probes[0], jnp.int32),
+                probe_frac=mk(probes[1]), probe_ok=mk(probes[2]),
+                probe_nn=jnp.asarray(probes[3], jnp.int32),
+                probe_c2ok=mk(probes[4]))
+           if (probes := _wall_probes(eb, grid)) is not None else {}),
     )
 
 

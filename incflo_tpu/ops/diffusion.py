@@ -228,7 +228,7 @@ def _eb_wall_correction(u_g, eta_cell, ebc, grid, eb, ng):
     eta A/V (n.grad u_prev) - ebc u_prev,  evaluated on the previous
     iterate (reference discretization: MLEBTensorOp EB-Dirichlet flux
     stencils, src/diffusion/DiffusionTensorOp.cpp:32-43)."""
-    from incflo_tpu.eb.ops import eb_cc_derivative
+    from incflo_tpu.eb.ops import PROBE_D1, PROBE_D2, eb_cc_derivative
     nd = grid.ndim
     ncomp = u_g.shape[-1]
     aov = eta_cell * eb.area_ov
@@ -240,7 +240,69 @@ def _eb_wall_correction(u_g, eta_cell, ebc, grid, eb, ng):
                 u_g, c, ax, grid, ng, eb)
         u_c = u_g[(slice(ng, -ng),) * nd + (c,)]
         out.append(aov * dudn - ebc * u_c)
-    return jnp.stack(out, axis=-1) * eb.cut[..., None]
+    corr = jnp.stack(out, axis=-1)
+    import os
+    if eb.probe_ok is not None and os.environ.get("INCFLO_EB_JC") == "1":
+        # Johansen-Colella two-point normal probe: quadratic fit of u
+        # through u(wall)=0.  Component-accurate (on a manufactured
+        # centroid-sampled parabola the probe gradient measures
+        # 1.97 +/- 0.02 vs the Taylor stencil's 2.15 +/- 0.83, exact
+        # 2.0) yet measured WORSE end-to-end on the Poiseuille-cylinder
+        # deck (3.9% vs 3.1% interior): the probes read near-wall
+        # neighbor values that carry the cut-face centroid-sampling
+        # inconsistency, while the Taylor form is self-referential and
+        # partially cancels it.  Kept opt-in for experimentation.
+        u_cells = u_g[(slice(ng, -ng),) * nd]
+        h = min(grid.dx)
+        d1, d2 = PROBE_D1 * h, PROBE_D2 * h
+        u1 = _probe_interp(u_cells, eb, grid, 0)
+        u2 = _probe_interp(u_cells, eb, grid, 1)
+        dudn_jc = (d2 * d2 * u1 - d1 * d1 * u2) / (d1 * d2 * (d2 - d1))
+        # corr = (L1 - L2)/beta on the previous iterate, L1 = beta*ebc*u
+        # (the implicit drag), L2 = beta*aov*dudn_wall
+        corr_jc = ebc[..., None] * u_cells - aov[..., None] * dudn_jc
+        corr = jnp.where(eb.probe_ok[..., None] > 0.5, corr_jc, corr)
+    return corr * eb.cut[..., None]
+
+
+def _probe_interp(u, eb, grid, k):
+    """Probe read of cell-centered u (trailing comp axis) at wall probe
+    k: trilinear corner gather MINUS the multilinear interpolation
+    error 1/2 sum_d f(1-f) h^2 u''_dd (second differences at the
+    nearest cell) -- exact for quadratic fields, which kills the
+    curvature bias a plain trilinear read puts on the wall gradient."""
+    import itertools
+    nd = grid.ndim
+    lo = eb.probe_lo[..., k, :]
+    fr = eb.probe_frac[..., k, :]
+
+    def wrap(c, d):
+        n = grid.n_cell[d]
+        return jnp.mod(c, n) if grid.periodic[d] else jnp.clip(c, 0, n - 1)
+
+    out = 0.0
+    for corner in itertools.product((0, 1), repeat=nd):
+        idx = []
+        w = 1.0
+        for d in range(nd):
+            idx.append(wrap(lo[..., d] + corner[d], d))
+            w = w * (fr[..., d] if corner[d] else 1.0 - fr[..., d])
+        out = out + w[..., None] * u[tuple(idx)]
+    if eb.probe_nn is not None:
+        nn = eb.probe_nn[..., k, :]
+        nn_idx = [wrap(nn[..., d], d) for d in range(nd)]
+        u_nn = u[tuple(nn_idx)]
+        corr = 0.0
+        for d in range(nd):
+            up = list(nn_idx)
+            dn = list(nn_idx)
+            up[d] = wrap(nn[..., d] + 1, d)
+            dn[d] = wrap(nn[..., d] - 1, d)
+            d2 = u[tuple(up)] - 2.0 * u_nn + u[tuple(dn)]   # h^2 u''_dd
+            f = fr[..., d]
+            corr = corr + (0.5 * f * (1.0 - f))[..., None] * d2
+        out = out - eb.probe_c2ok[..., k, None] * corr
+    return out
 
 
 def _eb_centroid_flux_correction(u_g, bcoefs, grid, eb, ng):
