@@ -158,15 +158,18 @@ def _sync(state):
     return float(_np.asarray(state.dt))
 
 
-def _timed_run(sim, s, steps, donate):
-    if donate:
-        # the low-memory per-step path (buffer donation + scan don't mix)
+def _timed_run(sim, s, steps, donate, scan=True):
+    if donate or not scan:
+        # per-step paths: donation is the low-memory path on healthy
+        # backends (broken on axon); scan=False is the large-grid
+        # fallback when the scanned double-buffer exceeds HBM
+        # (512-class shear3d: 17.9G > 15.75G on the scanned path)
         for _ in range(2):
-            s = sim.advance(s, donate=True)
+            s = sim.advance(s, donate=donate)
         _sync(s)
         t0 = time.perf_counter()
         for _ in range(steps):
-            s = sim.advance(s, donate=True)
+            s = sim.advance(s, donate=donate)
         _sync(s)
         return s, (time.perf_counter() - t0) / steps
     # production path: `steps` steps per device dispatch (lax.scan), the
@@ -197,6 +200,7 @@ def _child_main():
     dtype = os.environ.get("INCFLO_BENCH_DTYPE", "float32")
     config = os.environ.get("INCFLO_BENCH_CONFIG", "shear3d")
     donate = os.environ.get("INCFLO_BENCH_DONATE", "0") == "1"
+    scan = os.environ.get("INCFLO_BENCH_SCAN", "1") == "1"
     if dtype == "float64":
         jax.config.update("jax_enable_x64", True)
 
@@ -207,7 +211,7 @@ def _child_main():
     cfg = IncfloConfig.from_text(text)
     sim = Simulation(cfg)
     s = sim.init_state()
-    s, dt_wall = _timed_run(sim, s, steps, donate)
+    s, dt_wall = _timed_run(sim, s, steps, donate, scan)
 
     import numpy as _np
     finite = bool(_np.all(_np.isfinite(_np.asarray(s.level.velocity))))
@@ -224,6 +228,7 @@ def _child_main():
         "sec_per_step": dt_wall,
         "finite": finite,
         "donate": donate,
+        "scan": scan,
         "device": str(jax.devices()[0]),
     }))
     if not finite:

@@ -1,4 +1,4 @@
-"""Slab-patch AMR: real refinement savings with TPU-static shapes.
+"""Tagged-box patch AMR: real refinement savings with TPU-static shapes.
 
 The reference refines arbitrary tagged BoxArrays
 (src/incflo_regrid.cpp:8-119) with two-level fillpatch ghosts
@@ -7,13 +7,18 @@ synchronization.  Arbitrary dynamic box lists are hostile to XLA's
 static-shape compilation, so this module implements the TPU-native
 middle ground between that and the dense-fine mode of amr.py:
 
-  * Each fine level is ONE SLAB: a contiguous index range along a
-    single axis (chosen where the tagged region localizes -- e.g. the
-    interface band of rayleigh_taylor along z), spanning the full
-    domain on the other axes.  One box per level is the refinement
-    bucketing a TPU wants: a handful of large dense kernels instead of
-    many small boxes.
-  * Slab bounds are bucketed to coarse blocks (blocking factor 4) and
+  * Each patch is a BOX: a contiguous nd index range in its parent
+    (amr.patch_mode = box; a Berger-Rigoutsos-style signature split
+    clusters the tags into up to amr.max_patches boxes per parent --
+    the reference's ErrorEst -> cluster -> BoxArray pipeline with the
+    box count bounded for compile stability).  A handful of large
+    dense boxes is the refinement bucketing a TPU wants: a few big
+    fused kernels instead of many small boxes.
+  * amr.patch_mode = slab constrains every box to span the whole
+    domain on all but one axis (chosen where the tagged region
+    localizes -- e.g. the interface band of rayleigh_taylor along z):
+    the cheapest-to-compile mode, best for banded features.
+  * Box bounds are bucketed to coarse blocks (blocking factor 4) and
     padded, so regrids usually keep the compiled shape; a genuine
     growth recompiles once.
   * No subcycling (like the reference): one dt = min over levels
@@ -52,8 +57,18 @@ from incflo_tpu.ops import multigrid as mg
 from incflo_tpu.simulation import Simulation
 from incflo_tpu.state import LevelState, SimState
 
-BLOCK = 4          # slab bounds snap to this many coarse cells
+BLOCK = 4          # box bounds snap to this many coarse cells
 NG_CTX = 4         # interp ghost depth kept in the context arrays
+
+# a patch box: per-axis half-open parent-cell ranges ((lo,...), (hi,...))
+Box = Tuple[Tuple[int, ...], Tuple[int, ...]]
+
+
+def _slab_box(lo: int, hi: int, axis: int, n_cell) -> Box:
+    """Box spanning the whole domain except [lo, hi) along `axis`."""
+    lo_t = tuple(lo if a == axis else 0 for a in range(len(n_cell)))
+    hi_t = tuple(hi if a == axis else n for a, n in enumerate(n_cell))
+    return lo_t, hi_t
 
 
 # ---------------------------------------------------------------------
@@ -146,16 +161,16 @@ class PatchEV:
 
 
 class PatchSim(Simulation):
-    """Simulation on a slab patch with coarse-fine closures at the
+    """Simulation on a box patch with coarse-fine closures at the
     interior faces.  set_context() must be called (inside the parent
     trace) before any advance/init entry point runs."""
 
-    def __init__(self, cfg: IncfloConfig, interior, parent_lo: int,
-                 axis: int):
+    def __init__(self, cfg: IncfloConfig, interior,
+                 parent_lo: Tuple[int, ...]):
         super().__init__(cfg)
         self.cf_interior = frozenset(interior)   # {(axis, side)}
-        self.parent_lo = parent_lo               # parent cell of patch lo
-        self.slab_axis = axis
+        # parent cell index of the patch lo corner, per axis
+        self.parent_lo = tuple(parent_lo)
         # CF faces carry interpolated parent CELL data (FillPatch
         # semantics: stencils treat the ghosts as interior, not as a
         # face-located Dirichlet value -- the ext_dir slope forms are
@@ -174,13 +189,15 @@ class PatchSim(Simulation):
         """Bilinear parent->child interpolation of one parent field over
         the patch plus NG_CTX child ghosts on every axis."""
         nd = self.grid.ndim
-        ax = self.slab_axis
-        lo = self.parent_lo
-        npatch_c = self.grid.n_cell[ax] // 2     # parent cells under patch
         ngc = NG_CTX // 2 + 1                    # parent ghosts needed
         g = grow_fn(field, ngc)                  # parent + ngc ghosts
         sl = [slice(None)] * g.ndim
-        sl[ax] = slice(lo, lo + npatch_c + 2 * ngc)
+        for ax in range(nd):
+            npatch_c = self.grid.n_cell[ax] // 2  # parent cells under patch
+            lo = self.parent_lo[ax]               # grown-frame offset: the
+            # window [lo-ngc, lo+npatch_c+ngc) in parent cells starts at
+            # grown index lo (full-span axes: lo=0 -> whole grown extent)
+            sl[ax] = slice(lo, lo + npatch_c + 2 * ngc)
         w = g[tuple(sl)]
         f = _prolong_window(w, nd)
         # prolong of (m + 2*ngc) parent cells per axis gives
@@ -210,9 +227,6 @@ class PatchSim(Simulation):
         closures (MAC/nodal/diffusion Dirichlet values) always come from
         the just-advanced parent_lvl."""
         nd = self.grid.ndim
-        ax = self.slab_axis
-        lo = self.parent_lo
-        npatch_c = self.grid.n_cell[ax] // 2
 
         ghost_src = parent_lvl_old if parent_lvl_old is not None \
             else parent_lvl
@@ -368,23 +382,24 @@ class PatchSim(Simulation):
 
     def _interp_nodal_p(self, p):
         nd = self.grid.ndim
-        ax = self.slab_axis
-        lo = self.parent_lo
-        npatch_c = self.grid.n_cell[ax] // 2
         per = list(self.grid.periodic)
-        if per[ax]:
-            # slab covers the whole periodic axis: unique nodes, exact
-            # wraparound prolongation (a bounded window would mint an
-            # extra node row)
-            pw = p
-        elif self._parent.grid.periodic[ax]:
-            idx = jnp.arange(lo, lo + npatch_c + 1) \
-                % self._parent.grid.n_cell[ax]
-            pw = jnp.take(p, idx, axis=ax)
-        else:
-            sl = [slice(None)] * p.ndim
-            sl[ax] = slice(lo, lo + npatch_c + 1)
-            pw = p[tuple(sl)]
+        pw = p
+        for ax in range(nd):
+            if per[ax]:
+                # patch covers the whole periodic axis: unique nodes,
+                # exact wraparound prolongation (a bounded window would
+                # mint an extra node row)
+                continue
+            lo = self.parent_lo[ax]
+            npatch_c = self.grid.n_cell[ax] // 2
+            if self._parent.grid.periodic[ax]:
+                idx = jnp.arange(lo, lo + npatch_c + 1) \
+                    % self._parent.grid.n_cell[ax]
+                pw = jnp.take(pw, idx, axis=ax)
+            else:
+                sl = [slice(None)] * pw.ndim
+                sl[ax] = slice(lo, lo + npatch_c + 1)
+                pw = pw[tuple(sl)]
         return _nodal_prolong_window(pw, nd, per)
 
 
@@ -418,11 +433,12 @@ def compute_tags(cfg: IncfloConfig, rho: np.ndarray, grid: Grid,
 
 
 def choose_patch_mode(cfg: IncfloConfig) -> str:
-    """Auto patch-mode selection for amr.max_level > 0 decks: 'slab'
-    (the production refinement path) when the INITIAL tags localize
-    along some axis -- a tagged-row fraction <= 1/2 leaves real savings
-    after block snapping + padding -- else 'dense' (whole-domain fine
-    advance).  An explicit amr.patch_mode in the deck wins."""
+    """Auto patch-mode selection for amr.max_level > 0 decks: 'box'
+    when nd box clustering captures the INITIAL tags with clearly less
+    area than the best slab (tags localized in several axes, e.g. a
+    bubble); 'slab' when they localize along one axis (a band); 'dense'
+    (whole-domain fine advance) when they don't localize at all.  An
+    explicit amr.patch_mode in the deck wins."""
     import jax.numpy as jnp
     lvl = probs.init_fluid(cfg, cfg.grid, jnp.dtype(cfg.dtype))
     tags = compute_tags(cfg, np.asarray(lvl.density), cfg.grid)
@@ -442,6 +458,11 @@ def choose_patch_mode(cfg: IncfloConfig) -> str:
             if a2 != ax:
                 proj = proj.any(axis=a2)
         best = min(best, float(proj.mean()))
+    boxes = _choose_boxes(tags, cfg.grid.n_cell, cfg.max_patches)
+    box_frac = sum(int(np.prod([h - l for l, h in zip(lo, hi)]))
+                   for lo, hi in boxes) / tags.size
+    if box_frac <= 0.5 and box_frac <= 0.5 * best:
+        return "box"
     return "slab" if best <= 0.5 else "dense"
 
 
@@ -501,6 +522,148 @@ def _choose_slabs(tags: np.ndarray, axis: int, n: int,
     return [tuple(s) for s in slabs]
 
 
+def _tag_bbox(tags: np.ndarray) -> Optional[Box]:
+    nz = np.nonzero(tags)
+    if len(nz[0]) == 0:
+        return None
+    return (tuple(int(a.min()) for a in nz),
+            tuple(int(a.max()) + 1 for a in nz))
+
+
+def _box_eff(tags: np.ndarray, box: Box) -> float:
+    sl = tuple(slice(lo, hi) for lo, hi in zip(*box))
+    sub = tags[sl]
+    return float(sub.mean()) if sub.size else 1.0
+
+
+def _split_box(tags: np.ndarray, box: Box):
+    """One Berger-Rigoutsos split: cut at the longest zero run of the
+    in-box tag signature (preferred) or at the strongest inflection of
+    its second difference; each half shrinks to its own tag bounding
+    box.  Returns None when no admissible cut exists (every axis too
+    thin or signature featureless)."""
+    lo_t, hi_t = box
+    nd = tags.ndim
+    sl = tuple(slice(lo, hi) for lo, hi in zip(lo_t, hi_t))
+    sub = tags[sl]
+    best = None                      # (kind, score, ax, cut)
+    for ax in range(nd):
+        n = sub.shape[ax]
+        if n < 2 * BLOCK:
+            continue
+        sig = sub
+        for a2 in sorted(range(nd), reverse=True):
+            if a2 != ax:
+                sig = sig.sum(axis=a2)
+        # longest interior zero run
+        zero = np.nonzero(sig == 0)[0]
+        if len(zero):
+            runs = np.split(zero, np.nonzero(np.diff(zero) > 1)[0] + 1)
+            runs = [r for r in runs if r[0] > 0 and r[-1] < n - 1]
+            if runs:
+                r = max(runs, key=len)
+                cand = ("zero", len(r), ax, int(r[len(r) // 2]) + 1)
+                if best is None or (best[0] != "zero"
+                                    or cand[1] > best[1]):
+                    best = cand
+                continue
+        if best is not None and best[0] == "zero":
+            continue
+        # inflection of the signature Laplacian, away from the ends
+        d2 = np.diff(sig.astype(np.int64), n=2)       # at cuts 1..n-2
+        flip = np.nonzero(np.abs(np.diff(np.sign(d2))) > 0)[0]
+        flip = flip[(flip >= BLOCK - 1) & (flip <= n - 1 - BLOCK)]
+        if len(flip):
+            mag = np.abs(d2[flip + 1] - d2[flip])
+            k = int(np.argmax(mag))
+            cand = ("infl", float(mag[k]), ax, int(flip[k]) + 2)
+            if best is None or (best[0] == "infl" and cand[1] > best[1]):
+                best = cand
+    if best is None:
+        return None
+    _, _, ax, cut = best
+    halves = []
+    for r in (slice(0, cut), slice(cut, sub.shape[ax])):
+        idx = [slice(None)] * nd
+        idx[ax] = r
+        bb = _tag_bbox(sub[tuple(idx)])
+        if bb is None:
+            continue
+        off = [lo_t[a] for a in range(nd)]
+        off[ax] += r.start
+        halves.append((tuple(bb[0][a] + off[a] for a in range(nd)),
+                       tuple(bb[1][a] + off[a] for a in range(nd))))
+    return halves if len(halves) == 2 else None
+
+
+def _boxes_overlap(a: Box, b: Box) -> bool:
+    """Overlapping OR touching (closed-range test): touching siblings
+    must merge too -- a patch's CF ghosts read only parent data, so an
+    adjacent fine box would otherwise see coarse-interp ghosts where
+    fine data exists."""
+    return all(a[0][d] <= b[1][d] and b[0][d] <= a[1][d]
+               for d in range(len(a[0])))
+
+
+def _merge_boxes(a: Box, b: Box) -> Box:
+    return (tuple(min(x, y) for x, y in zip(a[0], b[0])),
+            tuple(max(x, y) for x, y in zip(a[1], b[1])))
+
+
+def _choose_boxes(tags: np.ndarray, n_cell, max_patches: int
+                  ) -> List[Box]:
+    """Cluster the tags into up to max_patches nd boxes (the reference
+    ErrorEst -> Berger-Rigoutsos cluster -> BoxArray pipeline,
+    incflo_regrid.cpp:8-119, with the box budget bounded for compile
+    stability).  Boxes are padded by one BLOCK and snapped per axis;
+    overlapping boxes merge (patches must tile disjointly for
+    average_down and the non-overlapping advance)."""
+    nd = tags.ndim
+    bb = _tag_bbox(tags)
+    if bb is None:
+        mid = tuple(s // 2 for s in tags.shape)
+        return [(tuple(max(0, m - BLOCK) for m in mid),
+                 tuple(min(n, m + BLOCK) for m, n in zip(mid, tags.shape)))]
+    boxes = [bb]
+    # split the least-efficient box until every box is tight or the
+    # budget is reached (splitting can only add one box per pass)
+    while len(boxes) < max_patches:
+        order = sorted(range(len(boxes)),
+                       key=lambda i: _box_eff(tags, boxes[i]))
+        done = True
+        for i in order:
+            if _box_eff(tags, boxes[i]) >= 0.7:
+                break
+            halves = _split_box(tags, boxes[i])
+            if halves is not None:
+                boxes[i:i + 1] = halves
+                done = False
+                break
+        if done:
+            break
+    # pad + snap + clip per axis
+    out = []
+    for lo_t, hi_t in boxes:
+        lo2 = tuple(max(0, (lo // BLOCK - 1) * BLOCK) for lo in lo_t)
+        hi2 = tuple(min(n, ((hi + BLOCK - 1) // BLOCK + 1) * BLOCK)
+                    for hi, n in zip(hi_t, n_cell))
+        out.append((lo2, hi2))
+    # merge any overlapping pair to a bounding box until disjoint
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(out)):
+            for j in range(i + 1, len(out)):
+                if _boxes_overlap(out[i], out[j]):
+                    out[i] = _merge_boxes(out[i], out[j])
+                    del out[j]
+                    changed = True
+                    break
+            if changed:
+                break
+    return sorted(out)
+
+
 @jax.tree_util.register_pytree_node_class
 class PatchState:
     """Pytree of per-level SimStates presenting the level-0 scalars with
@@ -539,13 +702,16 @@ class PatchState:
 
 
 class SlabAMRSimulation:
-    """Slab-patch AMR driver (amr.patch_mode = slab).
+    """Tagged-box patch AMR driver (amr.patch_mode = box or slab).
 
     The hierarchy is a PATCH TREE stored flat: sims[0] is the base
     Simulation; every further entry is a PatchSim whose parent is
     sims[parent[i]].  Each level-(L-1) patch may carry SEVERAL disjoint
-    level-L slabs (amr.max_patches per parent, reference ErrorEst box
-    clustering reduced to 1D), all along the single slab axis."""
+    level-L boxes (amr.max_patches per parent, the reference's ErrorEst
+    box clustering with a bounded box budget).  In slab mode every box
+    spans the whole domain except along the single axis where the tags
+    localize (cheapest compile; banded features); box mode clusters in
+    all dimensions (Berger-Rigoutsos-style signature splits)."""
 
     def __init__(self, cfg: IncfloConfig):
         assert cfg.max_level >= 1
@@ -554,15 +720,26 @@ class SlabAMRSimulation:
         self.max_level = cfg.max_level
         self.max_patches = cfg.max_patches
         self.composite_sync = cfg.composite_sync
+        self.box_mode = cfg.patch_mode == "box"
         self.sim0 = Simulation(cfg)
         self.dtype = self.sim0.dtype
         self.axis = self._pick_axis()
         self.sims: List[Simulation] = [self.sim0]
-        self.bounds: List[Tuple[int, int]] = [(0, cfg.grid.n_cell[self.axis])]
+        self.bounds: List[Box] = [((0,) * cfg.grid.ndim,
+                                   tuple(cfg.grid.n_cell))]
         self.parent: List[int] = [-1]
         self.level_of: List[int] = [0]
         self._adv_cache: Dict[Tuple, object] = {}
         self.masks: List[Optional[np.ndarray]] = [None]
+
+    def _cluster(self, tags: np.ndarray, parent_sim) -> List[Box]:
+        """Tags -> child boxes, by the active clustering mode."""
+        n_cell = parent_sim.grid.n_cell
+        if self.box_mode:
+            return _choose_boxes(tags, n_cell, self.max_patches)
+        slabs = _choose_slabs(tags, self.axis, n_cell[self.axis],
+                              self.max_patches)
+        return [_slab_box(lo, hi, self.axis, n_cell) for lo, hi in slabs]
 
     # -- geometry of the hierarchy ------------------------------------
     def _best_axis(self, tags: np.ndarray) -> int:
@@ -596,49 +773,57 @@ class SlabAMRSimulation:
         return compute_tags(self.cfg, rho, parent_sim.grid,
                             eb=parent_sim.eb)
 
-    def _build_patch(self, parent_idx: int, lo: int, hi: int) -> "PatchSim":
-        """Build a PatchSim over parent cells [lo, hi) along the slab
-        axis of sims[parent_idx]."""
+    def _build_patch(self, parent_idx: int, box: Box) -> "PatchSim":
+        """Build a PatchSim over the parent-cell box [lo, hi) (per-axis
+        half-open ranges) of sims[parent_idx]."""
         parent = self.sims[parent_idx]
         pg = parent.grid
-        ax = self.axis
-        n_f = [2 * n for n in pg.n_cell]
-        n_f[ax] = 2 * (hi - lo)
+        nd = pg.ndim
+        lo_t, hi_t = box
+        n_f = []
         prob_lo = list(pg.prob_lo)
         prob_hi = list(pg.prob_hi)
-        dx = pg.dx[ax]
-        prob_lo[ax] = pg.prob_lo[ax] + lo * dx
-        prob_hi[ax] = pg.prob_lo[ax] + hi * dx
         periodic = list(pg.periodic)
         # a patch face is PHYSICAL when it coincides with the domain face
         # through every coarser level (walls/inflow carry over); anything
         # else -- including the wrap point of a partially covered
         # periodic axis -- is a coarse-fine interior face
-        parent_dom = (not pg.periodic[ax], not pg.periodic[ax]) \
+        parent_dom = tuple((not pg.periodic[a], not pg.periodic[a])
+                           for a in range(nd)) \
             if parent is self.sim0 else parent.face_domain
-        face_dom = (lo == 0 and parent_dom[0],
-                    hi == pg.n_cell[ax] and parent_dom[1])
         interior = []
-        if not (pg.periodic[ax] and lo == 0 and hi == pg.n_cell[ax]):
-            periodic[ax] = False
-            if not face_dom[0]:
-                interior.append((ax, 0))
-            if not face_dom[1]:
-                interior.append((ax, 1))
+        face_dom = []
+        for ax in range(nd):
+            lo, hi = lo_t[ax], hi_t[ax]
+            n_f.append(2 * (hi - lo))
+            dx = pg.dx[ax]
+            prob_lo[ax] = pg.prob_lo[ax] + lo * dx
+            prob_hi[ax] = pg.prob_lo[ax] + hi * dx
+            fd = (lo == 0 and parent_dom[ax][0],
+                  hi == pg.n_cell[ax] and parent_dom[ax][1])
+            face_dom.append(fd)
+            if not (pg.periodic[ax] and lo == 0 and hi == pg.n_cell[ax]):
+                periodic[ax] = False
+                if not fd[0]:
+                    interior.append((ax, 0))
+                if not fd[1]:
+                    interior.append((ax, 1))
         gf = Grid(tuple(n_f), tuple(prob_lo), tuple(prob_hi),
                   tuple(periodic),
                   domain_lo=pg.origin,
                   domain_hi=pg.domain_hi if pg.domain_hi is not None
                   else pg.prob_hi)
         cfgf = dataclasses.replace(self.cfg, grid=gf)
-        ps = PatchSim(cfgf, interior, lo, ax)
+        ps = PatchSim(cfgf, interior, lo_t)
         ps._parent = parent
-        ps.face_domain = face_dom
+        ps.face_domain = tuple(face_dom)
         return ps
 
-    # back-compat shim (io.read_checkpoint_patch, old tests)
+    # back-compat shim (legacy checkpoints, old tests): slab-axis ints
     def _build_level(self, lev: int, lo: int, hi: int) -> "PatchSim":
-        return self._build_patch(lev - 1, lo, hi)
+        pg = self.sims[lev - 1].grid
+        return self._build_patch(
+            lev - 1, _slab_box(lo, hi, self.axis, pg.n_cell))
 
     def _indices_at_level(self, lev: int) -> List[int]:
         return [i for i, l in enumerate(self.level_of) if l == lev]
@@ -653,13 +838,10 @@ class SlabAMRSimulation:
                 parent_state = states[p]
                 rho = np.asarray(parent_state.level.density)
                 tags = self._tag_level(rho, self.sims[p])
-                slabs = _choose_slabs(tags, self.axis,
-                                      self.sims[p].grid.n_cell[self.axis],
-                                      self.max_patches)
-                for (lo, hi) in slabs:
-                    ps = self._build_patch(p, lo, hi)
+                for box in self._cluster(tags, self.sims[p]):
+                    ps = self._build_patch(p, box)
                     self.sims.append(ps)
-                    self.bounds.append((lo, hi))
+                    self.bounds.append(box)
                     self.parent.append(p)
                     self.level_of.append(lev)
                     self.masks.append(None)
@@ -676,18 +858,8 @@ class SlabAMRSimulation:
         g = self.sims[p].grid
         m = np.zeros(g.cell_shape, bool)
         for i in kids:
-            lo, hi = self.bounds[i]
-            sl = [slice(None)] * g.ndim
-            sl[self.axis] = slice(lo, hi)
-            m[tuple(sl)] = True
-        return m
-
-    def _mask_from_bounds(self, lev, lo, hi):
-        g = self.sims[lev].grid
-        m = np.zeros(g.cell_shape, bool)
-        sl = [slice(None)] * g.ndim
-        sl[self.axis] = slice(lo, hi)
-        m[tuple(sl)] = True
+            lo_t, hi_t = self.bounds[i]
+            m[tuple(slice(lo, hi) for lo, hi in zip(lo_t, hi_t))] = True
         return m
 
     # -- advance ------------------------------------------------------
@@ -768,15 +940,14 @@ class SlabAMRSimulation:
                 out[p] = self._sync_down(out[p], out[i], self.bounds[i])
         return out
 
-    def _sync_down(self, cs: SimState, fs: SimState, bounds) -> SimState:
-        lo, hi = bounds
+    def _sync_down(self, cs: SimState, fs: SimState, bounds: Box) -> SimState:
+        lo_t, hi_t = bounds
         nd = self.base_grid.ndim
-        ax = self.axis
 
         def put(cfield, ffield, ncomp_axes=0):
             avg = _avg_down_window(ffield, nd)
-            sl = [slice(None)] * cfield.ndim
-            sl[ax] = slice(lo, hi)
+            sl = [slice(lo, hi) for lo, hi in zip(lo_t, hi_t)]
+            sl += [slice(None)] * (cfield.ndim - nd)
             return cfield.at[tuple(sl)].set(avg.astype(cfield.dtype))
 
         lvl = cs.level
@@ -792,23 +963,24 @@ class SlabAMRSimulation:
 
     # -- regrid -------------------------------------------------------
     def regrid(self, state: PatchState) -> PatchState:
-        """Recompute the slab tree from the current tags.  The slab axis
-        is RE-PICKED from the level-0 tags; surviving patches (same
-        parent entry, parent frame unchanged) keep their fine data over
-        the overlap, everything else re-initializes from parent
-        interpolation (reference RemakeLevel / MakeNewLevelFromCoarse
-        semantics, incflo_regrid.cpp:8-119)."""
+        """Recompute the patch tree from the current tags.  The slab
+        axis is RE-PICKED from the level-0 tags (slab mode); surviving
+        patches (same parent entry, parent frame unchanged) keep their
+        fine data over the overlap, everything else re-initializes from
+        parent interpolation (reference RemakeLevel /
+        MakeNewLevelFromCoarse semantics, incflo_regrid.cpp:8-119)."""
         states = list(state.levels)
         tags0 = self._tag_level(np.asarray(states[0].level.density),
                                 self.sim0)
         new_axis = self._best_axis(tags0)
-        axis_changed = new_axis != self.axis
+        axis_changed = (not self.box_mode) and new_axis != self.axis
         self.axis = new_axis
         old_sims, old_bounds = self.sims, self.bounds
         old_parent, old_levels, old_states = (self.parent, self.level_of,
                                               states)
         self.sims = [self.sim0]
-        self.bounds = [(0, self.base_grid.n_cell[self.axis])]
+        self.bounds = [((0,) * self.base_grid.ndim,
+                        tuple(self.base_grid.n_cell))]
         self.parent = [-1]
         self.level_of = [0]
         self.masks = [None]
@@ -820,19 +992,17 @@ class SlabAMRSimulation:
                 parent_state = new_states[p]
                 rho = np.asarray(parent_state.level.density)
                 tags = self._tag_level(rho, self.sims[p])
-                slabs = _choose_slabs(tags, self.axis,
-                                      self.sims[p].grid.n_cell[self.axis],
-                                      self.max_patches)
+                boxes = self._cluster(tags, self.sims[p])
                 src_p, frame_same = kept_src.get(p, (None, False))
                 # the old children of the matching old parent entry
                 old_kids = [] if src_p is None else \
                     [j for j in range(len(old_sims))
                      if j > 0 and old_parent[j] == src_p]
-                for (lo, hi) in slabs:
-                    ps = self._build_patch(p, lo, hi)
+                for box in boxes:
+                    ps = self._build_patch(p, box)
                     i = len(self.sims)
                     self.sims.append(ps)
-                    self.bounds.append((lo, hi))
+                    self.bounds.append(box)
                     self.parent.append(p)
                     self.level_of.append(lev)
                     self.masks.append(None)
@@ -841,39 +1011,53 @@ class SlabAMRSimulation:
                     if frame_same and not axis_changed:
                         best_ov = 0
                         for j in old_kids:
-                            olo, ohi = old_bounds[j]
-                            ov = min(hi, ohi) - max(lo, olo)
+                            ov = _overlap_volume(box, old_bounds[j])
                             if ov > best_ov:
                                 best_ov, match = ov, j
-                    if match is not None and (lo, hi) == old_bounds[match]:
+                    if match is not None and box == old_bounds[match]:
                         # identical placement: keep the old state whole
                         new_states.append(old_states[match])
                         kept_src[i] = (match, True)
                         continue
                     init = ps.init_from_parent(parent_state)
                     if match is not None:
-                        olo, ohi = old_bounds[match]
-                        ov_lo, ov_hi = max(lo, olo), min(hi, ohi)
                         init = _copy_overlap(init, old_states[match],
-                                             self.axis, lo, olo,
-                                             ov_lo, ov_hi)
+                                             box, old_bounds[match])
                     new_states.append(init)
                     kept_src[i] = (match, False)
                 self.masks[p] = self._mask_of_children(p)
         return PatchState(new_states)
 
 
-def _copy_overlap(init: SimState, old: SimState, ax: int, lo: int,
-                  old_lo: int, ov_lo: int, ov_hi: int) -> SimState:
-    """Copy the overlapping fine band [ov_lo, ov_hi) (parent cells)
+def _overlap_volume(a: Box, b: Box) -> int:
+    v = 1
+    for d in range(len(a[0])):
+        w = min(a[1][d], b[1][d]) - max(a[0][d], b[0][d])
+        if w <= 0:
+            return 0
+        v *= w
+    return v
+
+
+def _copy_overlap(init: SimState, old: SimState, box: Box,
+                  old_box: Box) -> SimState:
+    """Copy the overlapping fine region (parent-cell box intersection)
     from the old fine state into the rebuilt one (host-side numpy)."""
+    nd = len(box[0])
+    ov_lo = [max(box[0][d], old_box[0][d]) for d in range(nd)]
+    ov_hi = [min(box[1][d], old_box[1][d]) for d in range(nd)]
+    if any(ov_hi[d] <= ov_lo[d] for d in range(nd)):
+        return init
+
     def cp(a, b):
         a = np.asarray(a).copy()
         b = np.asarray(b)
-        dst = [slice(None)] * a.ndim
-        src = [slice(None)] * a.ndim
-        dst[ax] = slice(2 * (ov_lo - lo), 2 * (ov_hi - lo))
-        src[ax] = slice(2 * (ov_lo - old_lo), 2 * (ov_hi - old_lo))
+        dst = [slice(2 * (ov_lo[d] - box[0][d]),
+                     2 * (ov_hi[d] - box[0][d])) for d in range(nd)]
+        src = [slice(2 * (ov_lo[d] - old_box[0][d]),
+                     2 * (ov_hi[d] - old_box[0][d])) for d in range(nd)]
+        dst += [slice(None)] * (a.ndim - nd)
+        src += [slice(None)] * (b.ndim - nd)
         a[tuple(dst)] = b[tuple(src)]
         return jnp.asarray(a)
 

@@ -53,7 +53,7 @@ class IncfloConfig:
     ref_ratio: int = 2
     regrid_int: int = -1
     patch_mode: str = ""
-    max_patches: int = 4   # slabs per parent patch (1D box-cluster cap)
+    max_patches: int = 4   # boxes per parent patch (box-cluster cap)
     composite_sync: bool = True   # patch AMR: post-step composite
                                   # pressure re-projection exchange
 

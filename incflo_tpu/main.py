@@ -88,7 +88,8 @@ def run(argv):
         from incflo_tpu import amr_patch
         patch_mode = amr_patch.choose_patch_mode(cfg)
         print(f"amr.patch_mode auto-selected: {patch_mode}")
-    if cfg.max_level > 0 and patch_mode == "slab":
+    if cfg.max_level > 0 and patch_mode in ("slab", "box"):
+        cfg.patch_mode = patch_mode     # record the resolved mode
         from incflo_tpu.amr_patch import SlabAMRSimulation
         amr = SlabAMRSimulation(cfg)
         sim = amr.sim0
@@ -115,7 +116,7 @@ def run(argv):
         def write_plot(path, s):
             io.write_plotfile(path, s, cfg, sim)
 
-    if cfg.max_level > 0 and patch_mode == "slab":
+    if cfg.max_level > 0 and patch_mode in ("slab", "box"):
         def write_chk(path, s):
             io.write_checkpoint_patch(path, s, amr, cfg)
     else:
@@ -141,7 +142,7 @@ def run(argv):
     t0 = wallclock.time()
     if cfg.restart_file:
         print(f"Restarting from checkpoint {cfg.restart_file}")
-        if patch_mode == "slab" and cfg.max_level > 0:
+        if patch_mode in ("slab", "box") and cfg.max_level > 0:
             s = io.read_checkpoint_patch(cfg.restart_file, amr, cfg)
         else:
             s = io.read_checkpoint(cfg.restart_file, io_cfg, sim.dtype)

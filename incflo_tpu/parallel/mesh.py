@@ -41,15 +41,27 @@ def make_mesh(devices: Optional[Sequence] = None,
     return Mesh(dev, axis_names)
 
 
-def level_specs(grid_ndim: int, mesh: Mesh) -> LevelState:
+def _axis_spec(shape, grid_ndim: int, mesh: Mesh) -> P:
+    """Spec sharding the first two grid axes of `shape`, but only where
+    the extent divides the mesh axis evenly: nodal arrays carry n+1
+    extents on non-periodic axes (e.g. pressure at 17 nodes over a
+    4-way mesh axis), and device_put/jit reject uneven shardings.
+    Undivisible axes replicate; GSPMD still distributes the interior
+    solve via sharding propagation from the divisible operands."""
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    parts = []
+    for i, n in enumerate(shape):
+        ax = mesh.axis_names[i] if i < min(2, grid_ndim, len(mesh.axis_names)) \
+            else None
+        parts.append(ax if ax is not None and n % sizes[ax] == 0 else None)
+    return P(*parts)
+
+
+def level_specs(lvl: LevelState, grid_ndim: int, mesh: Mesh) -> LevelState:
     """PartitionSpecs for every LevelState field: shard the first two
-    cell axes over the mesh, replicate trailing component axes."""
-    ax = mesh.axis_names
-    cell = P(ax[0], ax[1]) if grid_ndim >= 2 else P(ax[0])
-    cellc = P(ax[0], ax[1], *([None] * (grid_ndim - 2)), None)
-    cells = P(ax[0], ax[1], *([None] * (grid_ndim - 2)))
-    return LevelState(velocity=cellc, density=cells, tracer=cellc,
-                      gp=cellc, p=cells, mac_phi=cells)
+    cell axes over the mesh (where even), replicate component axes."""
+    return jax.tree.map(
+        lambda a: _axis_spec(a.shape, grid_ndim, mesh), lvl)
 
 
 def sim_state_shardings(state: SimState, mesh: Mesh) -> SimState:
@@ -58,7 +70,7 @@ def sim_state_shardings(state: SimState, mesh: Mesh) -> SimState:
         from incflo_tpu.ops import pallas_guard
         pallas_guard.set_sharded(True)
     ndim = state.level.density.ndim
-    lvl = level_specs(ndim, mesh)
+    lvl = level_specs(state.level, ndim, mesh)
     rep = P()
     mk = lambda spec: NamedSharding(mesh, spec)
     return SimState(level=jax.tree.map(mk, lvl), t=mk(rep), dt=mk(rep),

@@ -389,8 +389,8 @@ def write_plotfile_patch(path: str, state, amr, cfg: IncfloConfig):
     for i, (sim, s) in enumerate(zip(amr.sims, state.levels)):
         fields = gather_plot_fields(s, sim.cfg, sim)
         if i > 0:
-            fields["patch_lo"] = np.asarray([amr.bounds[i][0]])
-            fields["patch_hi"] = np.asarray([amr.bounds[i][1]])
+            fields["patch_lo"] = np.asarray(amr.bounds[i][0])
+            fields["patch_hi"] = np.asarray(amr.bounds[i][1])
         if amr.masks[i] is not None:
             fields["refine_mask"] = np.asarray(amr.masks[i])
         np.savez(os.path.join(path, f"Level_{i}.npz"), **fields)
@@ -417,7 +417,8 @@ def write_checkpoint_patch(path: str, state, amr, cfg: IncfloConfig):
     for i, s in enumerate(state.levels):
         lp = os.path.join(path, f"patch_level_{i}")
         write_checkpoint(lp, s, amr.sims[i].cfg)
-    meta = {"axis": amr.axis, "bounds": [list(b) for b in amr.bounds],
+    meta = {"axis": amr.axis,
+            "bounds": [[list(b[0]), list(b[1])] for b in amr.bounds],
             "parents": list(amr.parent), "levels": list(amr.level_of),
             "nlevels": len(amr.sims)}
     with open(os.path.join(path, "Patch.json"), "w") as f:
@@ -435,19 +436,27 @@ def read_checkpoint_patch(path: str, amr, cfg: IncfloConfig):
     parents = meta.get("parents", [-1] + list(range(0, n - 1)))
     levels = meta.get("levels", list(range(n)))
     amr.axis = int(meta["axis"])
+
+    def as_box(b, parent_n_cell):
+        # box format [[lo...],[hi...]]; legacy slab format [lo, hi]
+        if isinstance(b[0], list):
+            return tuple(b[0]), tuple(b[1])
+        from incflo_tpu.amr_patch import _slab_box
+        return _slab_box(int(b[0]), int(b[1]), amr.axis, parent_n_cell)
+
     states = [read_checkpoint(os.path.join(path, "patch_level_0"),
                               cfg, amr.dtype)]
     amr.sims = [amr.sim0]
-    amr.bounds = [tuple(meta["bounds"][0])]
+    amr.bounds = [as_box(meta["bounds"][0], cfg.grid.n_cell)]
     amr.parent = [-1]
     amr.level_of = [0]
     amr.masks = [None]
     for i in range(1, n):
-        lo, hi = meta["bounds"][i]
         p = int(parents[i])
-        ps = amr._build_patch(p, lo, hi)
+        box = as_box(meta["bounds"][i], amr.sims[p].grid.n_cell)
+        ps = amr._build_patch(p, box)
         amr.sims.append(ps)
-        amr.bounds.append((lo, hi))
+        amr.bounds.append(box)
         amr.parent.append(p)
         amr.level_of.append(int(levels[i]))
         amr.masks.append(None)

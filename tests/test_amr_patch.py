@@ -42,7 +42,7 @@ def test_slab_two_level_advance_and_regrid():
     amr = SlabAMRSimulation(cfg)
     s = amr.init_state()
     assert len(s.levels) == 2
-    lo, hi = amr.bounds[1]
+    lo, hi = (amr.bounds[1][0][amr.axis], amr.bounds[1][1][amr.axis])
     n_ax = amr.sims[0].grid.n_cell[amr.axis]
     assert 0 <= lo < hi <= n_ax
     # genuine savings: the patch covers a strict subrange
@@ -56,9 +56,7 @@ def test_slab_two_level_advance_and_regrid():
         assert np.isfinite(np.asarray(lev.level.density)).all()
     # average_down: coarse covered region equals the fine average
     from incflo_tpu.amr_patch import _avg_down_window
-    lo, hi = amr.bounds[1]
-    sl = [slice(None)] * 2
-    sl[amr.axis] = slice(lo, hi)
+    sl = [slice(l, h) for l, h in zip(*amr.bounds[1])]
     cov = np.asarray(s.levels[0].level.density[tuple(sl)])
     avg = np.asarray(_avg_down_window(s.levels[1].level.density, 2))
     np.testing.assert_allclose(cov, avg, rtol=1e-12)
@@ -94,10 +92,7 @@ def test_slab_rt_matches_dense_fine():
     assert float(s.t) == pytest.approx(float(sd.t))
 
     # compare density inside the patch (map patch -> dense index range)
-    lo, hi = amr.bounds[1]
-    ax = amr.axis
-    sl = [slice(None)] * 2
-    sl[ax] = slice(2 * lo, 2 * hi)
+    sl = [slice(2 * l, 2 * h) for l, h in zip(*amr.bounds[1])]
     rho_dense = np.asarray(sd.level.density[tuple(sl)])
     rho_patch = np.asarray(s.levels[1].level.density)
     num = np.linalg.norm(rho_patch - rho_dense)
@@ -344,7 +339,7 @@ incflo.cfl = 0.5
         umax = float(np.abs(np.asarray(lvl.velocity)).max())
         # uncovered nodes: strictly outside the slab's node range
         ax = amr.axis
-        lo, hi = amr.bounds[1]
+        lo, hi = (amr.bounds[1][0][ax], amr.bounds[1][1][ax])
         idx = np.arange(div.shape[ax])
         div_out = np.compress((idx < lo) | (idx > hi), div, axis=ax)
         dx_min = min(sim0.grid.dx)
@@ -397,7 +392,7 @@ incflo.use_godunov = false
     u_ex = u0 - np.cos(np.pi * (x - u0 * t)) * np.sin(np.pi * (y - v0 * t)) \
         * np.exp(-2 * omega * t)
     err = np.abs(np.asarray(lvl0.velocity[..., 0]) - u_ex)
-    lo, hi = amr.bounds[1]
+    lo, hi = (amr.bounds[1][0][amr.axis], amr.bounds[1][1][amr.axis])
     sl = [slice(None)] * err.ndim
     sl[amr.axis] = slice(lo + 2, hi - 2)   # refined rows away from CF
     inner = err[tuple(sl)]
@@ -431,3 +426,73 @@ def test_two_level_taylor_vortex_convergence():
     assert order_l1 > 1.35, f"CF L1 order {order_l1} ({e32}, {e64})"
     assert order_l2 > 1.35, f"CF L2 order {order_l2} ({e32}, {e64})"
     assert order_in > 1.7, f"patch-interior order {order_in} ({e32}, {e64})"
+
+
+def test_choose_boxes_two_blobs():
+    """_choose_boxes clusters two disjoint 3D blobs into two tight
+    disjoint boxes (the reference ErrorEst -> Berger-Rigoutsos cluster
+    -> BoxArray pipeline, incflo_regrid.cpp:8-119)."""
+    from incflo_tpu import amr_patch
+    tags = np.zeros((48, 32, 16), bool)
+    tags[8:12, 4:10, 2:6] = True
+    tags[32:40, 20:28, 8:14] = True
+    boxes = amr_patch._choose_boxes(tags, (48, 32, 16), max_patches=4)
+    assert len(boxes) == 2
+    cov = np.zeros_like(tags)
+    for lo, hi in boxes:
+        cov[tuple(slice(l, h) for l, h in zip(lo, hi))] = True
+    assert cov[tags].all()                      # every tag covered
+    total = sum(int(np.prod([h - l for l, h in zip(lo, hi)]))
+                for lo, hi in boxes)
+    assert total == int(cov.sum())              # disjoint boxes
+    assert total < 0.25 * tags.size             # genuine nd savings
+
+
+def test_box_mode_two_level_advance_and_regrid():
+    """amr.patch_mode = box: a compact tagged bubble becomes an nd box
+    patch with CF faces on every axis; advance syncs down and regrid
+    tracks a moved tag region (reference RemakeLevel semantics)."""
+    cfg = IncfloConfig.from_text("""
+amr.n_cell = 32 32
+amr.max_level = 1
+amr.patch_mode = box
+geometry.prob_lo = 0. 0.
+geometry.prob_hi = 1. 1.
+geometry.is_periodic = 1 1
+incflo.probtype = 21
+incflo.tag_region = true
+incflo.tag_region_lo = 0.3 0.4
+incflo.tag_region_hi = 0.6 0.7
+incflo.fixed_dt = 0.002
+""")
+    amr = SlabAMRSimulation(cfg)
+    s = amr.init_state()
+    assert len(amr.sims) == 2
+    lo, hi = amr.bounds[1]
+    # a genuine nd box: strict subrange on BOTH axes
+    assert all(l > 0 and h < 32 for l, h in zip(lo, hi)), (lo, hi)
+    # CF interior faces on all four sides
+    assert len(amr.sims[1].cf_interior) == 4
+    for _ in range(2):
+        s = amr.advance(s)
+    for lev in s.levels:
+        assert np.isfinite(np.asarray(lev.level.velocity)).all()
+    # average_down: coarse covered window equals the fine average
+    from incflo_tpu.amr_patch import _avg_down_window
+    sl = tuple(slice(l, h) for l, h in zip(*amr.bounds[1]))
+    cov = np.asarray(s.levels[0].level.density[sl])
+    avg = np.asarray(_avg_down_window(s.levels[1].level.density, 2))
+    np.testing.assert_allclose(cov, avg, rtol=1e-12)
+    # move the tag region; regrid must relocate the box and keep running
+    amr.cfg = dataclasses.replace(
+        amr.cfg, tag_region_lo=(0.55, 0.1), tag_region_hi=(0.85, 0.4))
+    amr.sim0.cfg = amr.cfg
+    s2 = amr.regrid(s)
+    lo2, hi2 = amr.bounds[1]
+    assert (lo2, hi2) != (lo, hi)
+    # the relocated box covers the new tag region (pad+snap may reach
+    # the domain edge; coverage, not interiority, is the contract)
+    assert lo2[0] <= int(0.55 * 32) and hi2[0] >= int(0.85 * 32), (lo2, hi2)
+    assert lo2[1] <= int(0.1 * 32) and hi2[1] >= int(0.4 * 32), (lo2, hi2)
+    s3 = amr.advance(s2)
+    assert np.isfinite(np.asarray(s3.levels[1].level.velocity)).all()
