@@ -496,3 +496,42 @@ incflo.fixed_dt = 0.002
     assert lo2[1] <= int(0.1 * 32) and hi2[1] >= int(0.4 * 32), (lo2, hi2)
     s3 = amr.advance(s2)
     assert np.isfinite(np.asarray(s3.levels[1].level.velocity)).all()
+
+
+@pytest.mark.slow
+def test_eb_cutcell_driven_patch():
+    """An EB deck with forced cut-cell tagging drives a box-mode patch
+    that localizes around the cylinder; the fine PatchSim rebuilds the
+    EB geometry on its own grid and the two-level advance stays finite
+    (reference incflo_tagging.cpp:133-140 TagCutCells + RemakeLevel
+    building a new EB factory per level)."""
+    cfg = IncfloConfig.from_text("""
+amr.n_cell = 32 16 8
+amr.max_level = 1
+amr.patch_mode = box
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 2. 1. 0.5
+geometry.is_periodic = 1 1 1
+incflo.probtype = 21
+incflo.geometry = "cylinder"
+cylinder.internal_flow = false
+cylinder.radius = 0.1
+cylinder.direction = 2
+cylinder.center = 0.6 0.5 0.
+incflo.fixed_dt = 0.002
+""")
+    amr = SlabAMRSimulation(cfg)
+    s = amr.init_state()
+    assert len(amr.sims) == 2
+    lo, hi = amr.bounds[1]
+    # the box localizes around the cylinder (x in [0.5-r, 0.7+r] of a
+    # domain 2.0 long => well under half the x extent even after snap)
+    assert hi[0] - lo[0] < 24, (lo, hi)
+    ps = amr.sims[1]
+    assert ps.eb is not None
+    n_cut = int(np.asarray(ps.eb.cut).sum())
+    assert n_cut > 0     # the fine patch carries its own cut cells
+    for _ in range(2):
+        s = amr.advance(s)
+    for lev in s.levels:
+        assert np.isfinite(np.asarray(lev.level.velocity)).all()
