@@ -535,3 +535,55 @@ incflo.fixed_dt = 0.002
         s = amr.advance(s)
     for lev in s.levels:
         assert np.isfinite(np.asarray(lev.level.velocity)).all()
+
+
+@pytest.mark.slow
+def test_three_level_patch_tree():
+    """max_level=2 patch tree (ADVICE r2 medium): an L2 patch nested in
+    the L1 patch, tags for the L2 box computed in the L1 PatchSim's own
+    coordinate frame, one shared dt across all three levels, and a full
+    top-down regrid that rebuilds every level below a changed parent
+    (reference incflo_regrid.cpp:8-119 RemakeLevel over the whole
+    hierarchy)."""
+    cfg = IncfloConfig.from_text(RT2D.replace(
+        "amr.max_level = 1", "amr.max_level = 2"))
+    amr = SlabAMRSimulation(cfg)
+    s = amr.init_state()
+    # three levels: base + one (or more) L1 slab + nested L2 slab(s)
+    assert max(amr.level_of) == 2
+    i2 = [i for i, l in enumerate(amr.level_of) if l == 2]
+    assert i2, "no level-2 patch was created"
+    for i in i2:
+        p = amr.parent[i]
+        assert amr.level_of[p] == 1
+        # L2 bounds are indices in the L1 PatchSim's cell frame
+        lo, hi = amr.bounds[i]
+        pn = amr.sims[p].grid.n_cell
+        assert all(0 <= l < h <= n for l, h, n in zip(lo, hi, pn))
+        # 4x finer than base along the refined axis
+        assert amr.sims[i].grid.dx[amr.axis] == pytest.approx(
+            amr.sims[0].grid.dx[amr.axis] / 4)
+    for _ in range(3):
+        s = amr.advance(s)
+    t0 = float(s.levels[0].t)
+    for i, lev in enumerate(s.levels):
+        assert float(lev.t) == pytest.approx(t0), f"level entry {i}"
+        assert np.isfinite(np.asarray(lev.level.velocity)).all()
+        assert np.isfinite(np.asarray(lev.level.density)).all()
+    # average_down holds through BOTH coarse-fine pairs
+    from incflo_tpu.amr_patch import _avg_down_window
+    for i in range(len(amr.sims) - 1, 0, -1):
+        p = amr.parent[i]
+        sl = [slice(l, h) for l, h in zip(*amr.bounds[i])]
+        cov = np.asarray(s.levels[p].level.density[tuple(sl)])
+        avg = np.asarray(_avg_down_window(s.levels[i].level.density, 2))
+        np.testing.assert_allclose(cov, avg, rtol=1e-12)
+    # regrid rebuilds the whole tree (incl. refreshed _parent links) and
+    # the run stays alive through another step
+    s = amr.regrid(s)
+    assert max(amr.level_of) == 2
+    for i in range(1, len(amr.sims)):
+        assert amr.sims[i]._parent is amr.sims[amr.parent[i]]
+    s = amr.advance(s)
+    for lev in s.levels:
+        assert np.isfinite(np.asarray(lev.level.velocity)).all()
