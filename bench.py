@@ -235,17 +235,15 @@ def _child_main():
         raise SystemExit("benchmark produced non-finite velocity field")
 
 
-def main():
-    if os.environ.get("INCFLO_BENCH_CHILD") == "1":
-        _child_main()
-        return
-
+def _run_one(extra_env, timeout_s):
+    """One config measured in isolated subprocesses (donate-attempt
+    ladder); returns the parsed JSON dict or an error row."""
     attempts = [("no-donate", "0"), ("no-donate-retry", "0"),
                 ("donate", "1")]
-    timeout_s = float(os.environ.get("INCFLO_BENCH_TIMEOUT", "3000"))
     last_err = None
     for name, donate in attempts:
         env = dict(os.environ)
+        env.update(extra_env)
         env["INCFLO_BENCH_CHILD"] = "1"
         env["INCFLO_BENCH_DONATE"] = donate
         try:
@@ -261,26 +259,68 @@ def main():
         line = next((ln for ln in r.stdout.splitlines()
                      if ln.startswith("{")), None)
         if r.returncode == 0 and line:
-            print(line)
-            return
+            return json.loads(line)
         last_err = (f"{name}: rc={r.returncode}, "
                     f"tail={r.stdout.strip()[-200:]!r}")
         sys.stderr.write(f"bench attempt failed: {last_err}\n")
-
-    # total failure: still emit the JSON line, then signal failure
-    n = os.environ.get("INCFLO_BENCH_N", "128")
+    n = extra_env.get("INCFLO_BENCH_N",
+                      os.environ.get("INCFLO_BENCH_N", "128"))
     dtype = os.environ.get("INCFLO_BENCH_DTYPE", "float32")
-    config = os.environ.get("INCFLO_BENCH_CONFIG", "shear3d")
-    print(json.dumps({
-        "metric": "cell_updates_per_sec_per_chip",
-        "value": 0.0,
-        "unit": "cells/s",
-        "vs_baseline": 0.0,
-        "config": f"{config} n={n} {dtype}",
-        "error": last_err,
-    }))
-    sys.stdout.flush()
-    raise SystemExit(1)
+    config = extra_env.get("INCFLO_BENCH_CONFIG", "shear3d")
+    return {"metric": "cell_updates_per_sec_per_chip", "value": 0.0,
+            "unit": "cells/s", "vs_baseline": 0.0,
+            "config": f"{config} n={n} {dtype}", "error": last_err}
+
+
+def main():
+    if os.environ.get("INCFLO_BENCH_CHILD") == "1":
+        _child_main()
+        return
+
+    timeout_s = float(os.environ.get("INCFLO_BENCH_TIMEOUT", "3000"))
+
+    # explicit single-config invocation (scripts, A/Bs) keeps the old
+    # one-line contract
+    if os.environ.get("INCFLO_BENCH_CONFIG") \
+            or os.environ.get("INCFLO_BENCH_ALL", "1") == "0":
+        row = _run_one({}, timeout_s)
+        print(json.dumps(row))
+        sys.stdout.flush()
+        if row.get("error"):
+            raise SystemExit(1)
+        return
+
+    # all five BASELINE.json configs + an all-jnp control row for
+    # hardware-epoch drift (VERDICT r3 Next #7); the LAST line is the
+    # flagship headline the driver parses.
+    specs = [
+        ("tgv2d", {}),
+        ("rt", {}),
+        ("poiseuille_cyl_bingham", {}),
+        ("channel_cyl", {}),
+        ("control_jnp", {"INCFLO_BENCH_CONFIG": "shear3d",
+                         "INCFLO_PALLAS_GODUNOV": "0",
+                         "INCFLO_SPECTRAL": "0"}),
+        ("shear3d", {}),
+    ]
+    rows = []
+    for name, extra in specs:
+        extra = dict(extra)
+        extra.setdefault("INCFLO_BENCH_CONFIG", name)
+        row = _run_one(extra, timeout_s)
+        if name == "control_jnp":
+            row["control"] = "all-jnp (pallas+spectral off)"
+        rows.append(row)
+        print(json.dumps(row))
+        sys.stdout.flush()
+    try:
+        os.makedirs("artifacts", exist_ok=True)
+        with open("artifacts/bench_all.json", "w") as f:
+            json.dump(rows, f, indent=1)
+    except OSError:
+        pass
+    if all(r.get("error") for r in rows):
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

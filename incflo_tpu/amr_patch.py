@@ -404,20 +404,23 @@ class PatchSim(Simulation):
 
 
 def compute_tags(cfg: IncfloConfig, rho: np.ndarray, grid: Grid,
-                 eb=None) -> np.ndarray:
-    """ErrorEst tags on one level (incflo_tagging.cpp:20-44; cut cells
-    forced per :133-140)."""
+                 eb=None, lev: int = 0) -> np.ndarray:
+    """ErrorEst tags on level `lev` (incflo_tagging.cpp:20-44; cut cells
+    forced per :133-140).  rhoerr/gradrhoerr are PER-LEVEL arrays: level
+    lev uses entry lev, with the last entry repeated past the end (the
+    reference resizes the vectors to max_level+1 with the back value,
+    incflo_tagging.cpp:24-44)."""
     tags = np.zeros(rho.shape, bool)
     if len(cfg.rhoerr) > 0:
-        tags |= rho > cfg.rhoerr[0]
+        tags |= rho > cfg.rhoerr[min(lev, len(cfg.rhoerr) - 1)]
     if len(cfg.gradrhoerr) > 0:
-        thr = cfg.gradrhoerr[0]
+        thr = cfg.gradrhoerr[min(lev, len(cfg.gradrhoerr) - 1)]
         for ax in range(rho.ndim):
             d = np.abs(np.diff(rho, axis=ax))
             pad = [(0, 1) if a == ax else (0, 0) for a in range(rho.ndim)]
-            tags |= np.pad(d, pad) > thr
+            tags |= np.pad(d, pad) >= thr
             pad = [(1, 0) if a == ax else (0, 0) for a in range(rho.ndim)]
-            tags |= np.pad(d, pad) > thr
+            tags |= np.pad(d, pad) >= thr
     if cfg.tag_region:
         coords = [np.asarray(grid.cell_centers_1d(ax)).reshape(
             [-1 if a == ax else 1 for a in range(grid.ndim)])
@@ -733,7 +736,11 @@ class SlabAMRSimulation:
         self.masks: List[Optional[np.ndarray]] = [None]
 
     def _cluster(self, tags: np.ndarray, parent_sim) -> List[Box]:
-        """Tags -> child boxes, by the active clustering mode."""
+        """Tags -> child boxes, by the active clustering mode.  No tags
+        => no children (the reference builds no finer level when ErrorEst
+        tags nothing; per-level thresholds can stop the tree early)."""
+        if not tags.any():
+            return []
         n_cell = parent_sim.grid.n_cell
         if self.box_mode:
             return _choose_boxes(tags, n_cell, self.max_patches)
@@ -764,14 +771,16 @@ class SlabAMRSimulation:
         return self._best_axis(
             self._tag_level(np.asarray(lvl.density), self.sim0))
 
-    def _tag_level(self, rho: np.ndarray, parent_sim) -> np.ndarray:
+    def _tag_level(self, rho: np.ndarray, parent_sim,
+                   lev: int = 0) -> np.ndarray:
         """ErrorEst for the level refined NEXT above parent_sim
         (reference incflo_tagging.cpp:20-44 + forced cut-cell tagging
         :133-140).  Coordinates come from the PARENT level's grid (the
         density array lives there -- L>=2 patches have their own
-        prob_lo/dx)."""
+        prob_lo/dx); `lev` is the level being TAGGED, selecting the
+        per-level rhoerr/gradrhoerr entry."""
         return compute_tags(self.cfg, rho, parent_sim.grid,
-                            eb=parent_sim.eb)
+                            eb=parent_sim.eb, lev=lev)
 
     def _build_patch(self, parent_idx: int, box: Box) -> "PatchSim":
         """Build a PatchSim over the parent-cell box [lo, hi) (per-axis
@@ -837,7 +846,7 @@ class SlabAMRSimulation:
             for p in self._indices_at_level(lev - 1):
                 parent_state = states[p]
                 rho = np.asarray(parent_state.level.density)
-                tags = self._tag_level(rho, self.sims[p])
+                tags = self._tag_level(rho, self.sims[p], lev=lev - 1)
                 for box in self._cluster(tags, self.sims[p]):
                     ps = self._build_patch(p, box)
                     self.sims.append(ps)
@@ -991,13 +1000,33 @@ class SlabAMRSimulation:
             for p in self._indices_at_level(lev - 1):
                 parent_state = new_states[p]
                 rho = np.asarray(parent_state.level.density)
-                tags = self._tag_level(rho, self.sims[p])
+                tags = self._tag_level(rho, self.sims[p], lev=lev - 1)
                 boxes = self._cluster(tags, self.sims[p])
                 src_p, frame_same = kept_src.get(p, (None, False))
                 # the old children of the matching old parent entry
                 old_kids = [] if src_p is None else \
                     [j for j in range(len(old_sims))
                      if j > 0 and old_parent[j] == src_p]
+                # regrid hysteresis (VERDICT r3 Next #9): when every new
+                # box is still contained in a distinct old kid, keep the
+                # OLD layout -- the advance key (parent, bounds) is
+                # unchanged and the jit cache re-hits instead of
+                # recompiling a multi-minute XLA program for a one-block
+                # box shift.  Old kids were disjoint, so reusing their
+                # bounds keeps the tiling disjoint.
+                if frame_same and not axis_changed and old_kids \
+                        and boxes and len(boxes) <= len(old_kids):
+                    taken: List[int] = []
+                    reuse: List[Box] = []
+                    for box in boxes:
+                        j = next((j for j in old_kids if j not in taken
+                                  and _contains(old_bounds[j], box)), None)
+                        if j is None:
+                            break
+                        taken.append(j)
+                        reuse.append(old_bounds[j])
+                    if len(reuse) == len(boxes):
+                        boxes = reuse
                 for box in boxes:
                     ps = self._build_patch(p, box)
                     i = len(self.sims)
@@ -1027,6 +1056,13 @@ class SlabAMRSimulation:
                     kept_src[i] = (match, False)
                 self.masks[p] = self._mask_of_children(p)
         return PatchState(new_states)
+
+
+def _contains(outer: Box, inner: Box) -> bool:
+    """outer box contains inner box (per-axis [lo, hi) ranges)."""
+    return all(ol <= il and ih <= oh
+               for ol, il, ih, oh in zip(outer[0], inner[0],
+                                         inner[1], outer[1]))
 
 
 def _overlap_volume(a: Box, b: Box) -> int:

@@ -422,6 +422,22 @@ def compute_divtau(vel: jnp.ndarray, vel_g: jnp.ndarray, rho: jnp.ndarray,
         parts.append(lap)
     divtau = jnp.stack(parts, axis=-1)
 
+    if (eb is not None and eb.wall_dist is not None
+            and cfg.eb_wall_order == 2):
+        # second-order EB fluxes in the EXPLICIT divtau too (the
+        # implicit solve already applies these as deferred corrections;
+        # without them the explicit path -- the convergence-ladder
+        # configuration, diffusion_type=2 -- stays first-order at the
+        # wall and at cut faces.  Reference contract:
+        # MLEBABecLap/MLEBTensorOp face-centroid fluxes,
+        # incflo_diffusion.cpp:235-283).
+        corr = _eb_wall_correction(vel_g, eta_cell, ebc, grid, eb, ng)
+        eta_b = [b[..., None] for b in _eb_faces(eta_faces, eb)]
+        fcorr = _eb_centroid_flux_correction(vel_g, eta_b, grid, eb, ng)
+        if fcorr is not None:
+            corr = corr + fcorr
+        divtau = divtau + corr
+
     if cfg.use_tensor_solve:
         divtau = divtau + _transpose_term(vel_g, eta_g1, grid, ng)
 

@@ -487,7 +487,7 @@ class CellSolver:
         # fully-periodic constant-coefficient operators: exact FFT
         # direct solve of the SAME discrete operator (ops/spectral.py)
         from incflo_tpu.ops import spectral
-        if (self.symbol is not None and spectral.enabled()
+        if (spectral.usable(self.symbol)
                 and tuple(rhs.shape[:self.ndim]) == self.symbol.cells
                 and (rhs.ndim > self.ndim or not self.symbol.batched)):
             x = spectral.solve(self.symbol, rhs, lev.alpha, lev.beta,
@@ -1063,8 +1063,7 @@ class NodalSolver:
                 if bc == SolverBC.DIRICHLET:
                     rhs = _set_slab(rhs, ax, 0 if side == 0 else -1, val)
         from incflo_tpu.ops import spectral
-        if (self.symbol is not None and dirichlet_vals is None
-                and spectral.enabled()
+        if (spectral.usable(self.symbol) and dirichlet_vals is None
                 and tuple(rhs.shape) == self.symbol.cells):
             x = spectral.solve(self.symbol, rhs, 0.0, 1.0, self.singular)
             res = _maxnorm(rhs - nodal_apply(x, lev)) \
@@ -1103,6 +1102,245 @@ class NodalSolver:
         return jnp.stack(
             [_node_to_cellgrad(phi, lev, ax) for ax in range(self.ndim)],
             axis=-1)
+
+
+# =====================================================================
+# EB nodal fast path: the exact octant-integrated cut-cell operator
+# precomputed as per-level 3^D-point stencils on COARSE nodes
+# (VERDICT r3 Next #3).  The finest stencil is probe-extracted from
+# eb_nodal_apply (= P^T L_fine P, the exact cut-cell weak form AMReX
+# MLNodeLaplacian assembles, incflo_apply_nodal_projection.cpp:134-153);
+# coarser levels are its Galerkin RAP, which stays 3^D-point under
+# linear prolongation + full-weighting.  One V-cycle then costs the same
+# per-node work as the regular vfrac solver instead of iterating on the
+# 2^D-x-DOF octant lattice.
+# =====================================================================
+
+def _stencil_offsets(ndim):
+    import itertools
+    return list(itertools.product((-1, 0, 1), repeat=ndim))
+
+
+def _probe_period(n, periodic):
+    """Per-axis comb period: >= 3 so the neighbors {i-1,i,i+1} land in
+    distinct residue classes; periodic axes need the period to divide
+    the node count (wrap-consistent coloring)."""
+    if not periodic:
+        return 4
+    for p in (4, 3):
+        if n % p == 0:
+            return p
+    return n       # full per-axis basis (small coarse levels)
+
+
+def extract_node_stencil(apply_fn, node_shape, periodic, dtype):
+    """Extract the 3^D-point stencil of a LINEAR radius-1 nodal operator
+    by probing with per-axis lattice combs: neighbors of a node span 3
+    consecutive residues per axis, so residue classes mod a period >= 3
+    identify each neighbor uniquely.  Output: (3^D, *nodes) numpy array,
+    row k = coefficient of offset _stencil_offsets(ndim)[k]."""
+    import itertools
+    import numpy as np
+    ndim = len(node_shape)
+    P = [_probe_period(node_shape[ax], periodic[ax])
+         for ax in range(ndim)]
+    offs = _stencil_offsets(ndim)
+    idx = np.indices(node_shape)
+    coefs = np.zeros((len(offs),) + tuple(node_shape), np.float64)
+    apply_j = jax.jit(apply_fn)
+    for cls in itertools.product(*[range(p) for p in P]):
+        v = np.ones(node_shape, bool)
+        for ax in range(ndim):
+            v &= (idx[ax] % P[ax]) == cls[ax]
+        if not v.any():
+            continue
+        y = np.asarray(apply_j(jnp.asarray(v.astype(dtype))))
+        for k, off in enumerate(offs):
+            # a periodic axis of extent 2 aliases offsets -1 and +1 onto
+            # the same node: fold the summed coupling into the +1 leg
+            # only (the apply would double-count it otherwise)
+            if any(off[ax] == -1 and periodic[ax] and node_shape[ax] == 2
+                   for ax in range(ndim)):
+                continue
+            m = np.ones(node_shape, bool)
+            for ax in range(ndim):
+                j = idx[ax] + off[ax]
+                m &= (j % P[ax]) == cls[ax]
+                if not periodic[ax]:
+                    m &= (j >= 0) & (j < node_shape[ax])
+            coefs[k][m] = y[m]
+    return coefs
+
+
+@dataclasses.dataclass(frozen=True)
+class StencilNodalLevel:
+    dx: Tuple[float, ...]
+    periodic: Tuple[bool, ...]
+    bc_lo: Tuple[int, ...]
+    bc_hi: Tuple[int, ...]
+    cells: Tuple[int, ...]
+    coefs: jnp.ndarray        # (3^D, *node_shape)
+
+    def meta_lev(self) -> NodalLevel:
+        """Sigma-free NodalLevel for the transfer/BC helpers."""
+        return NodalLevel(self.dx, self.periodic, self.bc_lo, self.bc_hi,
+                          None, None, self.cells)
+
+
+jax.tree_util.register_dataclass(
+    StencilNodalLevel, data_fields=["coefs"],
+    meta_fields=["dx", "periodic", "bc_lo", "bc_hi", "cells"])
+
+
+def stencil_nodal_apply(phi, st: StencilNodalLevel):
+    """y[i] = sum_o coefs_o[i] * phi[i+o]; wrap on periodic axes, zero
+    neighbor outside the domain (boundary rows' coefficients already
+    encode the BC, including Dirichlet identity rows)."""
+    ndim = len(st.dx)
+    phi, coefs = jax.lax.optimization_barrier((phi, st.coefs))
+    p = phi
+    for ax in range(ndim):
+        p = _wrap_pad(p, ax) if st.periodic[ax] else _zero_pad(p, ax)
+    out = 0.0
+    for k, off in enumerate(_stencil_offsets(ndim)):
+        sl = tuple(slice(1 + off[ax], 1 + off[ax] + phi.shape[ax])
+                   for ax in range(ndim))
+        out = out + coefs[k] * p[sl]
+    return out
+
+
+class EBNodalSolver:
+    """Geometric MG on the precomputed cut-cell nodal stencils.
+
+    Built ONCE per static geometry (constant-density decks: sigma_hat =
+    1/rho0, the in-step system scales by dt).  solve() mirrors
+    NodalSolver.solve (same tolerance/stagnation contract)."""
+
+    def __init__(self, dx, periodic, bc_lo, bc_hi, sigma, vfrac_oct,
+                 max_levels=30, nu1=2, nu2=2, nu_bottom=40):
+        ndim = len(dx)
+        self.ndim = ndim
+        self.nu1, self.nu2, self.nu_bottom = nu1, nu2, nu_bottom
+        periodic = tuple(bool(p) for p in periodic)
+        bc_lo = tuple(int(b) for b in bc_lo)
+        bc_hi = tuple(int(b) for b in bc_hi)
+        dtype = sigma.dtype
+        cells = tuple(sigma.shape)
+        meta0 = NodalLevel(tuple(dx), periodic, bc_lo, bc_hi, None, None,
+                           cells)
+        flev = eb_fine_level(sigma, vfrac_oct, meta0)
+        node_shape = tuple(c if periodic[ax] else c + 1
+                           for ax, c in enumerate(cells))
+        c0 = extract_node_stencil(
+            lambda v: eb_nodal_apply(v, meta0, flev), node_shape,
+            periodic, dtype)
+        levels = [StencilNodalLevel(tuple(dx), periodic, bc_lo, bc_hi,
+                                    cells, jnp.asarray(c0, dtype))]
+        while (len(levels) < max_levels
+               and all(n % 2 == 0 and n >= 4 for n in cells)):
+            cells = tuple(n // 2 for n in cells)
+            prev = levels[-1]
+            meta_c = NodalLevel(tuple(d * 2 for d in prev.dx), periodic,
+                                bc_lo, bc_hi, None, None, cells)
+            meta_f = prev.meta_lev()
+
+            def rap(v, prev=prev, meta_c=meta_c, meta_f=meta_f):
+                y = stencil_nodal_apply(_prolong_nodal(v, meta_f), prev)
+                y = _zero_dirichlet(y, meta_f)
+                return _apply_dirichlet_mask(_restrict_nodal(y, meta_f),
+                                             meta_c, identity_from=v)
+
+            nsh = tuple(c if periodic[ax] else c + 1
+                        for ax, c in enumerate(cells))
+            cc = extract_node_stencil(rap, nsh, periodic, dtype)
+            levels.append(StencilNodalLevel(meta_c.dx, periodic, bc_lo,
+                                            bc_hi, cells,
+                                            jnp.asarray(cc, dtype)))
+        self.levels = levels
+        center = _stencil_offsets(ndim).index((0,) * ndim)
+        self.dinvs = []
+        for st in levels:
+            diag = st.coefs[center]
+            dmax = jnp.max(jnp.abs(diag))
+            ok = jnp.abs(diag) > 1e-8 * dmax
+            self.dinvs.append(
+                jnp.where(ok, 1.0 / jnp.where(ok, diag, 1.0), 0.0))
+        self.singular = all(
+            b != SolverBC.DIRICHLET for b in list(bc_lo) + list(bc_hi))
+
+    def _smooth_res(self, x, b, li, n, want_residual):
+        st, inv = self.levels[li], self.dinvs[li]
+        red, black = _checkerboards(x.shape, x.dtype)
+
+        def sweep(x, _):
+            x = x + red * (b - stencil_nodal_apply(x, st)) * inv
+            x = x + black * (b - stencil_nodal_apply(x, st)) * inv
+            return x, None
+
+        x, _ = jax.lax.scan(sweep, x, None, length=n)
+        return x, (b - stencil_nodal_apply(x, st)) if want_residual \
+            else None
+
+    def _vcycle(self, x, b, li=0, want_residual=False):
+        st = self.levels[li]
+        meta = st.meta_lev()
+        if li == len(self.levels) - 1:
+            return self._smooth_res(x, b, li, self.nu_bottom,
+                                    want_residual)
+        x, r = self._smooth_res(x, b, li, self.nu1, True)
+        r = _zero_dirichlet(r, meta)
+        rc = _restrict_nodal(r, meta)
+        rc = _zero_dirichlet(rc, self.levels[li + 1].meta_lev())
+        ec, _ = self._vcycle(jnp.zeros_like(rc), rc, li + 1)
+        x = x + _prolong_nodal(ec, meta)
+        return self._smooth_res(x, b, li, self.nu2, want_residual)
+
+    def solve(self, rhs, x0=None, rtol=1e-11, atol=1e-14, maxiter=100):
+        st = self.levels[0]
+        meta = st.meta_lev()
+        if x0 is None:
+            x0 = jnp.zeros_like(rhs)
+        if self.singular:
+            rhs = rhs - jnp.mean(rhs)
+        rhs = _zero_dirichlet(rhs, meta)
+
+        bnorm = _maxnorm(rhs)
+        tol = jnp.maximum(rtol * bnorm, atol)
+
+        def cond(c):
+            x, res, prev, it = c
+            progressing = res < 0.999 * prev
+            return jnp.logical_and(
+                jnp.logical_and(res > tol, it < maxiter), progressing)
+
+        def body(c):
+            x, res, _, it = c
+            x, r = self._vcycle(x, rhs, want_residual=True)
+            return x, _maxnorm(r), res, it + 1
+
+        res0 = _maxnorm(rhs - stencil_nodal_apply(x0, st))
+        big = jnp.asarray(jnp.inf, res0.dtype)
+        x, res, _, it = jax.lax.while_loop(
+            cond, body, (x0, res0, big, jnp.array(0)))
+        if self.singular:
+            x = x - jnp.mean(x)
+        return x, res, it
+
+
+def _ebnodalsolver_flatten(s):
+    return ((s.levels, s.dinvs),
+            (s.ndim, s.nu1, s.nu2, s.nu_bottom, s.singular))
+
+
+def _ebnodalsolver_unflatten(aux, children):
+    obj = EBNodalSolver.__new__(EBNodalSolver)
+    obj.ndim, obj.nu1, obj.nu2, obj.nu_bottom, obj.singular = aux
+    obj.levels, obj.dinvs = children
+    return obj
+
+
+jax.tree_util.register_pytree_node(
+    EBNodalSolver, _ebnodalsolver_flatten, _ebnodalsolver_unflatten)
 
 
 def _nodalsolver_flatten(s):

@@ -53,6 +53,8 @@ def write_checkpoint(path: str, s: SimState, cfg: IncfloConfig):
     Shards.json manifest -- the analog of per-rank VisMF files -- with
     NO full-array gather to the host (each host serializes only its
     addressable shards; at 512^3+ a dense gather would not fit)."""
+    import jax as _jax
+    pidx = _jax.process_index()
     os.makedirs(path, exist_ok=True)
     grid = cfg.grid
     hdr = [
@@ -68,8 +70,9 @@ def write_checkpoint(path: str, s: SimState, cfg: IncfloConfig):
         " ".join(str(n) for n in grid.n_cell),
         " ".join("1" if p else "0" for p in grid.periodic),
     ]
-    with open(os.path.join(path, "Header"), "w") as f:
-        f.write("\n".join(hdr) + "\n")
+    if pidx == 0:          # one Header; shard writers race otherwise
+        with open(os.path.join(path, "Header"), "w") as f:
+            f.write("\n".join(hdr) + "\n")
 
     fields = {name: getattr(s.level, name) for name in LEVEL_FIELDS}
     if not any(_is_sharded(a) for a in fields.values()):
@@ -77,13 +80,12 @@ def write_checkpoint(path: str, s: SimState, cfg: IncfloConfig):
                  **{k: np.asarray(v) for k, v in fields.items()})
         return
 
-    # The manifest lists only THIS process's addressable shards; with
-    # multiple hosts each would clobber the others' Shards.json.  Scope
-    # the format to single-process until a manifest merge exists.
-    import jax as _jax
-    assert _jax.process_count() == 1, \
-        "sharded checkpoint format is single-process only"
-    manifest = {"format": 1, "fields": {}}
+    # Multi-host: each process serializes only its addressable shards
+    # into its own manifest (Shards.json for process 0, Shards.p<K>.json
+    # for the rest -- device ids make the shard filenames globally
+    # unique); the reader merges every manifest it finds.  This is the
+    # analog of per-rank VisMF files (reference io.cpp:85-101).
+    manifest = {"format": 1, "process": pidx, "fields": {}}
     payloads: Dict[str, Dict[str, np.ndarray]] = {}
     for name, arr in fields.items():
         entries = []
@@ -102,7 +104,8 @@ def write_checkpoint(path: str, s: SimState, cfg: IncfloConfig):
             "shape": list(arr.shape), "entries": entries}
     for fname, d in payloads.items():
         np.savez(os.path.join(path, fname), **d)
-    with open(os.path.join(path, "Shards.json"), "w") as f:
+    mname = "Shards.json" if pidx == 0 else f"Shards.p{pidx}.json"
+    with open(os.path.join(path, mname), "w") as f:
         json.dump(manifest, f)
 
 
@@ -159,11 +162,22 @@ def read_checkpoint(path: str, cfg: IncfloConfig, dtype,
     assert n_cell == cfg.grid.n_cell, \
         f"checkpoint grid {n_cell} != inputs grid {cfg.grid.n_cell}"
 
+    import glob as _glob
     import jax as _jax
     manifest_path = os.path.join(path, "Shards.json")
     if os.path.exists(manifest_path):
-        with open(manifest_path) as f:
-            manifest = json.load(f)
+        # merge every per-process manifest (multi-host writers produce
+        # Shards.json + Shards.p<K>.json; shard filenames are unique)
+        manifest = None
+        for mp in sorted(_glob.glob(os.path.join(path, "Shards*.json"))):
+            with open(mp) as f:
+                m = json.load(f)
+            if manifest is None:
+                manifest = m
+            else:
+                for name, meta in m["fields"].items():
+                    manifest["fields"][name]["entries"].extend(
+                        meta["entries"])
         npz_cache: Dict[str, object] = {}
 
         def load(name):

@@ -1,0 +1,94 @@
+"""EB wall-accuracy convergence ladder (VERDICT r3 Next #4).
+
+Steady Poiseuille flow in a cylinder (reference
+benchmark.poiseuille_cylinder_newtonian geometry, Newtonian), driven by
+delp, run to t=4 (viscous steady state; R^2/nu = 1) at n=16/32/64.
+Prints all-fluid L2/Linf errors vs the exact parabola and the observed
+orders.  Round-3 PERF.md baseline: L2 4.67e-2 / 2.82e-2 / 1.32e-2
+(orders 0.73 / 1.09 -- first order globally).
+
+Usage:  python scripts/eb_ladder.py [n ...]   (default 16 32 64)
+Env:    INCFLO_LADDER_DTYPE=float32|float64, INCFLO_EB_NODAL=stencil|fine
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def run_one(n, dtype="float32"):
+    import jax
+    cache = os.environ.get("INCFLO_JAX_CACHE",
+                           os.path.expanduser("~/.cache/incflo_tpu_xla"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from incflo_tpu.config import IncfloConfig
+    from incflo_tpu.simulation import Simulation
+
+    mu = 1.0
+    dt = 0.05
+    steps = int(round(4.0 / dt))
+    text = f"""
+amr.n_cell = {n} {n} 4
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 4. 4. 0.5
+geometry.is_periodic = 1 1 1
+incflo.probtype = 0
+incflo.dtype = {dtype}
+incflo.mu = {mu}
+incflo.ro_0 = 1.
+incflo.fixed_dt = {dt}
+incflo.diffusion_type = 2
+incflo.initial_iterations = 0
+incflo.delp = 0. 0. 2.
+incflo.geometry = "cylinder"
+cylinder.internal_flow = true
+cylinder.radius = 1.
+cylinder.direction = 2
+cylinder.center = 2. 2. 0.
+"""
+    cfg = IncfloConfig.from_text(text)
+    sim = Simulation(cfg)
+    s = sim.init_state()
+    left = steps
+    while left > 0:
+        k = min(left, 20)
+        s = sim.advance_n(s, k)
+        left -= k
+    w = np.asarray(s.level.velocity[..., 2])
+    assert np.isfinite(w).all()
+    wc = w[:, :, 2]
+    xc = (np.arange(n) + 0.5) * (4.0 / n)
+    r2 = (xc.reshape(-1, 1) - 2) ** 2 + (xc.reshape(1, -1) - 2) ** 2
+    exact = np.maximum(0.0, 4.0 / (4 * mu) * (1.0 - r2))
+    fluid = np.asarray(sim.eb.fluid[:, :, 2]) > 0.5
+    err = (wc - exact)[fluid]
+    l2 = float(np.sqrt(np.mean(err ** 2)))
+    linf = float(np.abs(err).max())
+    return l2, linf
+
+
+def main():
+    ns = [int(a) for a in sys.argv[1:]] or [16, 32, 64]
+    dtype = os.environ.get("INCFLO_LADDER_DTYPE", "float32")
+    rows = []
+    for n in ns:
+        l2, linf = run_one(n, dtype)
+        rows.append((n, l2, linf))
+        print(f"n={n:4d}  L2={l2:.4e}  Linf={linf:.4e}", flush=True)
+    for i in range(1, len(rows)):
+        n0, l0, i0 = rows[i - 1]
+        n1, l1, i1 = rows[i]
+        r = np.log2(n1 / n0)
+        print(f"order {n0}->{n1}:  L2 {np.log2(l0 / l1) / r:.2f}  "
+              f"Linf {np.log2(i0 / i1) / r:.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -5,12 +5,12 @@
 # on re-run (resumable).
 set -u
 cd "$(dirname "$0")/.."
-OUT=artifacts/testreport_r03.txt
+OUT=artifacts/testreport_r04.txt
 mkdir -p artifacts
 
 if ! grep -q "^# Full test-suite run" "$OUT" 2>/dev/null; then
   {
-    echo "# Full test-suite run, round 3"
+    echo "# Full test-suite run, round 4"
     echo "# started: $(date -u +%Y-%m-%dT%H:%M:%SZ)  host: 1-core CPU, virtual 8-device mesh"
     echo "# git: $(git rev-parse HEAD)"
   } > "$OUT"

@@ -32,9 +32,12 @@ def _shrunk_overrides(cfg_path, clamp_level=True, nmax=16):
     pp = ParmParse.from_file(cfg_path)
     n = pp.scoped("amr").getarr("n_cell")
     n = [min(int(v), nmax) for v in n]
+    # initial_iterations=0: the initial-iteration program is a second
+    # full-predictor XLA compile per deck (the suite is compile-bound on
+    # CPU; that path is covered by test_simulation/test_channel_flows)
     ov = [f"amr.n_cell = {' '.join(str(v) for v in n)}",
           "max_step = 2", "stop_time = -1",
-          "incflo.initial_iterations = 1", "amr.restart ="]
+          "incflo.initial_iterations = 0", "amr.restart ="]
     if clamp_level:
         ov.append("amr.max_level = 0")
     return ov

@@ -339,3 +339,91 @@ max_step = 3
     umax = float(jnp.max(jnp.abs(lvl.velocity)))
     dx = sim.grid.dx[0]
     assert ref < 5e-2 * max(umax, 1e-30) / dx, (ref, umax / dx)
+
+
+def test_eb_nodal_stencil_solver():
+    """The precomputed 27-point coarse-node stencil (mg.EBNodalSolver,
+    VERDICT r3 Next #3) reproduces the exact octant operator
+    (mg.eb_nodal_apply) and solves it at 1x DOF: its finest-level apply
+    matches eb_nodal_apply to roundoff and its MG solve drives the
+    exact-operator residual to tolerance on a cut geometry."""
+    from incflo_tpu.ops import multigrid as mg
+    from incflo_tpu.eb.geometry import CylinderIF
+
+    g = Grid((16, 12), (0.0, 0.0), (1.0, 0.75), (True, True))
+    rng = np.random.RandomState(5)
+    sigma = jnp.asarray(np.full((16, 12), 0.7))
+    cyl = CylinderIF(radius=0.2, direction=2, center=(0.5, 0.4, 0.0),
+                     inside=False)
+    eb = ebg.compute_eb_data(cyl, g, refine=4)
+    voct = jnp.asarray(eb.vfrac_oct)
+
+    solver = mg.EBNodalSolver(g.dx, g.periodic, (0, 0), (0, 0), sigma,
+                              voct)
+    # (a) finest stencil == exact octant operator
+    meta = mg.NodalLevel(g.dx, g.periodic, (0, 0), (0, 0), sigma)
+    fine = mg.eb_fine_level(sigma, voct, meta.with_stencil())
+    phi = jnp.asarray(rng.randn(16, 12))
+    np.testing.assert_allclose(
+        np.asarray(mg.stencil_nodal_apply(phi, solver.levels[0])),
+        np.asarray(mg.eb_nodal_apply(phi, meta, fine)),
+        rtol=1e-11, atol=1e-12)
+    # (b) Galerkin coarse level == R A P of the fine stencil
+    st0, st1 = solver.levels[0], solver.levels[1]
+    v = jnp.asarray(rng.randn(*st1.coefs.shape[1:]))
+    m0, m1 = st0.meta_lev(), st1.meta_lev()
+    want = mg._restrict_nodal(
+        mg._zero_dirichlet(
+            mg.stencil_nodal_apply(mg._prolong_nodal(v, m0), st0), m0), m0)
+    np.testing.assert_allclose(np.asarray(mg.stencil_nodal_apply(v, st1)),
+                               np.asarray(want), rtol=1e-11, atol=1e-12)
+    # (c) MG solve reaches tolerance on the exact operator
+    x_true = jnp.asarray(rng.randn(16, 12))
+    rhs = mg.stencil_nodal_apply(x_true, st0)
+    rhs = rhs - jnp.mean(rhs)
+    x, res, it = solver.solve(rhs, rtol=1e-11, atol=1e-13, maxiter=60)
+    r = rhs - mg.stencil_nodal_apply(x, st0)
+    bnorm = float(jnp.max(jnp.abs(rhs)))
+    assert float(jnp.max(jnp.abs(r))) < 1e-10 * bnorm, \
+        (float(jnp.max(jnp.abs(r))), bnorm, int(it))
+
+
+def test_eb_nodal_stencil_thin_periodic_axis():
+    """3D with a 4-cell periodic axis: coarsening creates an extent-2
+    periodic level where stencil offsets -1/+1 ALIAS onto the same node
+    -- the extraction must fold the coupling into one leg (the round-4
+    V-cycle divergence bug: the double-counted coarse operator amplified
+    the correction ~1e8x per cycle)."""
+    from incflo_tpu.ops import multigrid as mg
+    from incflo_tpu.eb.geometry import CylinderIF
+
+    g = Grid((16, 12, 4), (0., 0., 0.), (2.0, 1.5, 0.5),
+             (True, True, True))
+    rng = np.random.RandomState(7)
+    sigma = jnp.asarray(np.full((16, 12, 4), 0.9))
+    cyl = CylinderIF(radius=0.3, direction=2, center=(1.0, 0.7, 0.0),
+                     inside=False)
+    eb = ebg.compute_eb_data(cyl, g, refine=4)
+    voct = jnp.asarray(eb.vfrac_oct)
+    solver = mg.EBNodalSolver(g.dx, g.periodic, (0,) * 3, (0,) * 3,
+                              sigma, voct)
+    assert len(solver.levels) >= 2
+    st0, st1 = solver.levels[0], solver.levels[1]
+    assert st1.cells[2] == 2          # the aliasing level exists
+    # Galerkin consistency THROUGH the thin level
+    m0, m1 = st0.meta_lev(), st1.meta_lev()
+    v = jnp.asarray(rng.randn(*st1.coefs.shape[1:]))
+    want = mg._restrict_nodal(
+        mg._zero_dirichlet(
+            mg.stencil_nodal_apply(mg._prolong_nodal(v, m0), st0), m0), m0)
+    np.testing.assert_allclose(np.asarray(mg.stencil_nodal_apply(v, st1)),
+                               np.asarray(want), rtol=1e-11, atol=1e-12)
+    # and the solve converges (V-cycle contraction, not blow-up)
+    x_true = jnp.asarray(rng.randn(16, 12, 4))
+    rhs = mg.stencil_nodal_apply(x_true, st0)
+    rhs = rhs - jnp.mean(rhs)
+    x, res, it = solver.solve(rhs, rtol=1e-11, atol=1e-13, maxiter=60)
+    r = rhs - mg.stencil_nodal_apply(x, st0)
+    bnorm = float(jnp.max(jnp.abs(rhs)))
+    assert float(jnp.max(jnp.abs(r))) < 1e-10 * bnorm, \
+        (float(jnp.max(jnp.abs(r))), int(it))
