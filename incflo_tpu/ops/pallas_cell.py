@@ -111,7 +111,12 @@ def supported(lev, shape, dtype) -> bool:
     nx, ny, nz = shape
     if (ny * nz) % 128 != 0 or nx % 8 != 0:
         return False
-    return 9 * nx * ny * nz * 4 <= VMEM_BUDGET
+    # conservative live-array budget: the sibling nodal kernel's
+    # measured Mosaic scoped-vmem stack was ~2.3x the naive live-count
+    # estimate (17.04 MB at 64^3, see pallas_nodal.supported); apply the
+    # same safety factor here so large coarse levels (512-class
+    # hierarchies) fall back to the jnp scan instead of failing compile
+    return 18 * nx * ny * nz * 4 <= 14 * 1024 * 1024
 
 
 def enabled() -> bool:

@@ -174,7 +174,13 @@ def supported(lev, shape, dtype) -> bool:
     nx, ny, nz = shape
     if (ny * nz) % 128 != 0 or nx % 8 != 0:
         return False
-    return 7 * nx * ny * nz * 4 <= VMEM_BUDGET
+    # live-array budget measured on hardware: Mosaic's scoped-vmem stack
+    # for this kernel hit 17.04 MB at 64^3 (262k elems) -- ~16.3 live
+    # node arrays, not the naive 7 (the per-sweep temporaries of the
+    # scanned red/black updates stay live across the fused residual).
+    # 18 with the 16 MB part limit keeps a safety margin: 64x64x32-class
+    # levels stay on the kernel, 64^3 falls back to the jnp scan.
+    return 18 * nx * ny * nz * 4 <= 16 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("nsweeps", "want_residual",

@@ -332,6 +332,8 @@ def nodal_symbol(lev) -> Optional[Symbol]:
     array is N entries per axis, no duplicated wrap plane)."""
     from incflo_tpu.ops import multigrid as mg
     ndim = len(lev.dx)
+    if not enabled():
+        return None
     if not all(lev.periodic):
         return None
     sp = lev.sigma_pad if lev.sigma is None else lev.sigma
@@ -339,7 +341,10 @@ def nodal_symbol(lev) -> Optional[Symbol]:
         return None
     cells = lev.cells if lev.cells is not None else tuple(lev.sigma.shape)
     dtype = sp.dtype
-    resp = mg.nodal_apply(_delta(cells, dtype), lev)
+    # jit the delta probe: the EAGER nodal_apply materializes every
+    # shift-tree intermediate (~8 node-sized buffers -- an OOM at 512^3
+    # on a 16 GB chip); fused it needs ~3
+    resp = jax.jit(lambda d: mg.nodal_apply(d, lev))(_delta(cells, dtype))
     fd = _fastdiag_from_delta(resp, cells, dtype)
     if fd is not None:
         fwd, inv, lam = fd

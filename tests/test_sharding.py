@@ -256,3 +256,36 @@ incflo.gradrhoerr = 0.1
             np.testing.assert_allclose(
                 b, a, rtol=1e-11, atol=1e-13,
                 err_msg=f"patch {i} field {name}")
+
+
+def test_sharded_fastdiag_engages(mesh8):
+    """The Kronecker fast-diag direct solves must ENGAGE under sharding
+    (VERDICT r3 Next #1b), not silently fall back to V-cycle iteration:
+    with the constant-coefficient TGV deck every solver family
+    (MAC/nodal/diffusion) dispatches to the direct solve at trace time,
+    so the lowered sharded advance contains NO while loops; with
+    INCFLO_SPECTRAL=0 the iterative solvers reappear."""
+    import os
+    cfg = _cfg(godunov=True, n=32)
+
+    def lowered_text(spectral_on):
+        old = os.environ.get("INCFLO_SPECTRAL")
+        os.environ["INCFLO_SPECTRAL"] = "1" if spectral_on else "0"
+        try:
+            sim = Simulation(cfg)
+            s0 = sim.init_state()
+            shardings = pmesh.sim_state_shardings(s0, mesh8)
+            s_sh = jax.tree.map(jax.device_put, s0, shardings)
+            return jax.jit(sim._advance_impl).lower(
+                s_sh, sim._ctx()).as_text()
+        finally:
+            if old is None:
+                os.environ.pop("INCFLO_SPECTRAL", None)
+            else:
+                os.environ["INCFLO_SPECTRAL"] = old
+
+    fast = lowered_text(True)
+    slow = lowered_text(False)
+    assert fast.count("while") == 0, \
+        f"fast-diag did not engage under sharding: {fast.count('while')} whiles"
+    assert slow.count("while") > 0
