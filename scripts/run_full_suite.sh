@@ -34,7 +34,7 @@ except ValueError:
     pass
 EOF
   echo "== $name ==" >> "$OUT"
-  timeout 7200 python -m pytest "tests/$name" -q --no-header -p no:cacheprovider \
+  timeout 14400 python -m pytest "tests/$name" -q --no-header -p no:cacheprovider \
     2>&1 | tail -40 >> "$OUT"
   rc=${PIPESTATUS[0]}
   echo "== DONE $name rc=$rc ==" >> "$OUT"
