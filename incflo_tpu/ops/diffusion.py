@@ -18,6 +18,7 @@ BC maps follow reference incflo_diffusion.cpp:105-233:
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Tuple
 
 import jax.numpy as jnp
@@ -538,11 +539,68 @@ def _tensor_pcg(x0, rhs, bvals, solver, dt_diff, eta_g1, grid, ng,
     def dot(a, b):
         return jnp.sum(a * b)
 
-    def prec(r):
-        return solver._vcycle(jnp.zeros_like(r), r)[0]
+    # Exact preconditioner when the anisotropic operator has a usable
+    # fast-diagonalization symbol (constant-coefficient periodic decks):
+    # M^{-1} is then the EXACT inverse of the dominant part, the
+    # preconditioned system is I - dt M^{-1} C with ||dt M^{-1} C|| < 1
+    # (the cross term is subdominant to the diagonal it couples), and
+    # CG converges in a handful of iterations of 2*ndim matmuls each --
+    # no V-cycle smoother chains in the trace at all.
+    from incflo_tpu.ops import spectral
+    sym = getattr(solver, "symbol", None)
+    ndim = grid.ndim
+    direct = (eb is None and spectral.usable(sym) and sym.fwd is not None
+              and tuple(rhs.shape[:ndim]) == sym.cells
+              and (rhs.ndim > ndim or not sym.batched))
+    if direct:
+        def prec(r):
+            return spectral.solve(sym, r, lev0.alpha, lev0.beta, False)
+    else:
+        def prec(r):
+            return solver._vcycle(jnp.zeros_like(r), r)[0]
 
     r0 = residual(x0)
     res0 = mg._maxnorm(r0)
+
+    from incflo_tpu.ops import pallas_guard
+    if pallas_guard.in_kernel():
+        # fused-kernel mode: Mosaic needs static trip counts -- run a
+        # FIXED number of masked CG steps (each step freezes once the
+        # best residual is under tol, so converged answers match the
+        # adaptive loop's to its tolerance)
+        k_fix = int(os.environ.get("INCFLO_TENSOR_K", "8"))
+        z0 = prec(r0)
+        state0 = (x0, r0, z0, dot(r0, z0), x0, res0, jnp.array(0))
+
+        def body_fix(_, c):
+            x, r, p, rz, xb, rb, bad = c
+            live = jnp.logical_and(rb > tol, bad < 5)
+            Ap = A_lin(p)
+            denom = dot(p, Ap)
+            alpha = rz / jnp.where(denom == 0, 1.0, denom)
+            xn = x + alpha * p
+            rn = r - alpha * Ap
+            z = prec(rn)
+            rzn = dot(rn, z)
+            beta = rzn / jnp.where(rz == 0, 1.0, rz)
+            pn = z + beta * p
+            new_res = mg._maxnorm(rn)
+            improved = new_res < 0.999 * rb
+
+            def sel(a, b):
+                return jnp.where(live, a, b)
+            return (sel(xn, x), sel(rn, r), sel(pn, p),
+                    jnp.where(live, rzn, rz),
+                    sel(jnp.where(improved, xn, xb), xb),
+                    jnp.where(live, jnp.minimum(rb, new_res), rb),
+                    jnp.where(live, jnp.where(improved, 0, bad + 1), bad))
+
+        # unrolled (k_fix is small): keeps scan/while primitives out of
+        # the kernel jaxpr entirely
+        state = state0
+        for _i in range(k_fix):
+            state = body_fix(_i, state)
+        return state[4]
 
     def run(args):
         x0, r0, res0 = args
@@ -641,10 +699,10 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
         base = _eb_faces(eta_faces, eb)
         eta_b = []
         for d in range(grid.ndim):
-            scale = jnp.ones((grid.ndim,), dtype)
+            scale_np = np.ones((grid.ndim,), np.float64)
             if tensor:
-                scale = scale.at[d].set(2.0)
-            eta_b.append(base[d][..., None] * scale)
+                scale_np[d] = 2.0   # static constant: no scatter in trace
+            eta_b.append(base[d][..., None] * jnp.asarray(scale_np, dtype))
         if prebuilt_solver is not None:
             # constant-coefficient hierarchy built once at setup; only
             # the beta=dt scalar (and beta-scaled diags) change per step

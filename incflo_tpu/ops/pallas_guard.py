@@ -12,6 +12,13 @@ drivers that shard the simulation state flip this flag instead
 
 _sharded = False
 
+# set while TRACING the fused whole-step kernel (ops/pallas_step2d):
+# code under this flag must emit only Mosaic-lowerable primitives --
+# no lax.while_loop (data-dependent trip counts), no FFT, no nested
+# pallas_call.  Solver code consults it to pick fixed-trip-count
+# equivalents of its adaptive loops.
+_in_kernel = False
+
 
 def set_sharded(flag: bool = True) -> None:
     global _sharded
@@ -20,3 +27,12 @@ def set_sharded(flag: bool = True) -> None:
 
 def sharded() -> bool:
     return _sharded
+
+
+def set_in_kernel(flag: bool = True) -> None:
+    global _in_kernel
+    _in_kernel = bool(flag)
+
+
+def in_kernel() -> bool:
+    return _in_kernel

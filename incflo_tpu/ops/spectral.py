@@ -384,13 +384,26 @@ def solve(sym: Symbol, rhs, alpha, beta, singular: bool):
     if batched_rhs and not sym.batched:
         s = s[..., None]
     zero = (0,) * ndim
+
+    def _origin_mask(shape, dtype):
+        # 1.0 at the spatial origin, 0 elsewhere -- mask form instead of
+        # .at[origin].set scatters so the solve lowers inside Pallas
+        # kernels (ops/pallas_step2d wraps the whole step in one kernel)
+        m = None
+        for d in range(ndim):
+            md = jax.lax.broadcasted_iota(jnp.int32, shape[:ndim], d) == 0
+            m = md if m is None else jnp.logical_and(m, md)
+        m = m.astype(dtype)
+        return m.reshape(shape[:ndim] + (1,) * (len(shape) - ndim))
+
     if sym.fwd is not None:
         h = rhs
         for d, f in enumerate(sym.fwd):
             h = _contract(h, f, d)
         if singular:
-            s = s.at[zero].set(1.0)
-            h = h.at[zero].set(0.0)
+            m = _origin_mask(s.shape, s.dtype)
+            s = s * (1.0 - m) + m
+            h = h * (1.0 - _origin_mask(h.shape, h.dtype))
         h = h / s
         for d, b in enumerate(sym.inv):
             h = _contract(h, b, d)

@@ -98,6 +98,8 @@ class Simulation:
         # the old SimState afterwards.
         self._advance_donated = jax.jit(self._advance_impl, donate_argnums=0)
         self._advance_n_cache = {}
+        self._advance_fused = None
+        self._fused_step = None
         self._initial_iteration = jax.jit(self._initial_iteration_impl)
         self._init_project = jax.jit(self._initial_projection_impl)
 
@@ -952,11 +954,27 @@ class Simulation:
         return SimState(level=new, t=s.t + dt, dt=dt, prev_dt=s.dt,
                         prev_prev_dt=s.prev_dt, step=s.step + 1)
 
+    def _step_impl(self, s: SimState):
+        """The per-step implementation advance/advance_n dispatch to:
+        the fused whole-step Pallas kernel when the deck qualifies
+        (ops/pallas_step2d -- small 2D periodic decks are kernel-launch
+        bound), else the jnp _advance_impl."""
+        from incflo_tpu.ops import pallas_step2d
+        fused = pallas_step2d.maybe_fused(self, s)
+        return (fused.__call__, True) if fused is not None \
+            else (self._advance_impl, False)
+
     def advance(self, s: SimState, donate: bool = False) -> SimState:
         """One time step.  donate=True reuses the old state's device
         buffers for the new state (lower peak memory; the old SimState
         must not be read afterwards)."""
         ctx = self._ctx()
+        impl, is_fused = self._step_impl(s)
+        if is_fused:
+            fn = self._advance_fused
+            if fn is None:
+                fn = self._advance_fused = jax.jit(impl)
+            return fn(s, ctx)
         return self._advance_donated(s, ctx) if donate \
             else self._advance(s, ctx)
 
@@ -967,15 +985,16 @@ class Simulation:
         tunnel; batching steps between I/O points (the plot/check
         cadence is many steps) removes that per-step tax -- the same
         pattern as a scanned training loop."""
-        fn = self._advance_n_cache.get(n)
+        impl, is_fused = self._step_impl(s)
+        fn = self._advance_n_cache.get((n, is_fused))
         if fn is None:
             def multi(state, ctx):
                 def body(c, _):
-                    return self._advance_impl(c, ctx), None
+                    return impl(c, ctx), None
                 out, _ = jax.lax.scan(body, state, None, length=n)
                 return out
             fn = jax.jit(multi)
-            self._advance_n_cache[n] = fn
+            self._advance_n_cache[(n, is_fused)] = fn
         return fn(s, self._ctx())
 
     # ------------------------------------------------------------------
