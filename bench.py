@@ -235,13 +235,23 @@ def _child_main():
         raise SystemExit("benchmark produced non-finite velocity field")
 
 
-def _run_one(extra_env, timeout_s):
+def _run_one(extra_env, timeout_s, deadline=None):
     """One config measured in isolated subprocesses (donate-attempt
-    ladder); returns the parsed JSON dict or an error row."""
+    ladder); returns the parsed JSON dict or an error row.  `deadline`
+    (time.monotonic value) is this config's wall budget: attempts are
+    clipped to it and skipped once < 60 s remain, so one broken config
+    can never starve the remaining rows (VERDICT r4 Next #8)."""
     attempts = [("no-donate", "0"), ("no-donate-retry", "0"),
                 ("donate", "1")]
     last_err = None
     for name, donate in attempts:
+        t_att = timeout_s
+        if deadline is not None:
+            left = deadline - time.monotonic()
+            if left < 60:
+                last_err = (last_err or "") + f"; {name}: config budget exhausted"
+                break
+            t_att = min(timeout_s, left)
         env = dict(os.environ)
         env.update(extra_env)
         env["INCFLO_BENCH_CHILD"] = "1"
@@ -249,10 +259,10 @@ def _run_one(extra_env, timeout_s):
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, timeout=timeout_s,
+                env=env, capture_output=True, text=True, timeout=t_att,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
         except subprocess.TimeoutExpired:
-            last_err = f"{name}: timeout after {timeout_s}s"
+            last_err = f"{name}: timeout after {t_att:.0f}s"
             sys.stderr.write(last_err + "\n")
             continue
         sys.stderr.write(r.stderr)
@@ -277,7 +287,7 @@ def main():
         _child_main()
         return
 
-    timeout_s = float(os.environ.get("INCFLO_BENCH_TIMEOUT", "3000"))
+    timeout_s = float(os.environ.get("INCFLO_BENCH_TIMEOUT", "900"))
 
     # explicit single-config invocation (scripts, A/Bs) keeps the old
     # one-line contract
@@ -303,11 +313,24 @@ def main():
                          "INCFLO_SPECTRAL": "0"}),
         ("shear3d", {}),
     ]
+    # overall wall budget split across the remaining configs: every row
+    # is always emitted even when one config times out repeatedly
+    # (BENCH_r04 was rc=124 with one valid row; VERDICT r4 Next #8)
+    total_s = float(os.environ.get("INCFLO_BENCH_TOTAL", "5400"))
+    t_end = time.monotonic() + total_s
     rows = []
-    for name, extra in specs:
+    for i, (name, extra) in enumerate(specs):
         extra = dict(extra)
         extra.setdefault("INCFLO_BENCH_CONFIG", name)
-        row = _run_one(extra, timeout_s)
+        left = t_end - time.monotonic()
+        cfg_deadline = time.monotonic() + max(
+            left / (len(specs) - i), 120.0)
+        if left < 60:
+            row = {"metric": "cell_updates_per_sec_per_chip",
+                   "value": 0.0, "unit": "cells/s", "vs_baseline": 0.0,
+                   "config": name, "error": "total bench budget exhausted"}
+        else:
+            row = _run_one(extra, timeout_s, deadline=cfg_deadline)
         if name == "control_jnp":
             row["control"] = "all-jnp (pallas+spectral off)"
         rows.append(row)

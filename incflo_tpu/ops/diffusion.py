@@ -29,7 +29,7 @@ from incflo_tpu.bcs import BCKind
 from incflo_tpu.config import IncfloConfig
 from incflo_tpu.grid import Grid
 from incflo_tpu.ops import multigrid as mg
-from incflo_tpu.ops.stencil import window
+from incflo_tpu.ops.stencil import comp_stack, window
 
 
 # ---------------------------------------------------------------------
@@ -241,7 +241,7 @@ def _eb_wall_correction(u_g, eta_cell, ebc, grid, eb, ng):
                 u_g, c, ax, grid, ng, eb)
         u_c = u_g[(slice(ng, -ng),) * nd + (c,)]
         out.append(aov * dudn - ebc * u_c)
-    corr = jnp.stack(out, axis=-1)
+    corr = comp_stack(out, axis=-1)
     import os
     if eb.probe_ok is not None and os.environ.get("INCFLO_EB_JC") == "1":
         # Johansen-Colella two-point normal probe: quadratic fit of u
@@ -304,6 +304,63 @@ def _probe_interp(u, eb, grid, k):
             corr = corr + (0.5 * f * (1.0 - f))[..., None] * d2
         out = out - eb.probe_c2ok[..., k, None] * corr
     return out
+
+
+def _eb_centroid_state_correction(u_g, bcoefs, grid, eb, ng):
+    """Deferred correction for CENTROID-VALUED cut-cell state.
+
+    The stored cut-cell unknown is the fluid average -- the fluid-
+    CENTROID point value to second order -- while the face-difference
+    fluxes assume CELL-CENTER point values; the O(h) offset between the
+    two caps the global L2 rate at first order even with second-order-
+    consistent wall and face-centroid fluxes (PERF.md round-4 ladder
+    analysis).  Reconstruct the center-value increment
+
+        delta = u_center - u_centroid = -sum_d c_d dx_d du/dx_d
+
+    (c = fluid-centroid offset in dx units, du/dx the covered-cell-safe
+    cell derivative) in cut cells and return div(b grad delta):  added
+    to the rhs it makes the solved FACE fluxes act on center values at
+    convergence while the mass (vfrac-weighted average) and wall terms
+    (centroid-to-wall Taylor stencil) keep acting on the stored
+    average.  Reference contract: MLEBABecLap assembles center-valued
+    flux stencils and incflo states are averages
+    (/root/reference/src/diffusion/incflo_diffusion.cpp:235-283); the
+    reference itself stays first-order at uncentered cut cells -- this
+    closes the Poiseuille-cylinder ladder to second order (VERDICT r4
+    Next #3)."""
+    from incflo_tpu.eb.ops import eb_cc_derivative
+    nd = grid.ndim
+    if eb.ccent_g2 is None:
+        return None
+    cent = eb.ccent_g2[(slice(2, -2),) * nd]      # interior (cells, d)
+    ncomp = u_g.shape[-1]
+    cols = []
+    for c in range(ncomp):
+        acc = 0.0
+        for ax in range(nd):
+            g = eb_cc_derivative(u_g, c, ax, grid, ng, eb)
+            acc = acc - cent[..., ax] * grid.dx[ax] * g
+        cols.append(acc * eb.cut)
+    delta = comp_stack(cols, axis=-1)
+    # one ghost for the flux divergence: periodic wrap, else edge
+    # replicate (zero-gradient => zero correction flux on domain faces)
+    pad = [(1, 1)] * nd + [(0, 0)]
+    dp = delta
+    for ax in range(nd):
+        p = [(0, 0)] * (nd + 1)
+        p[ax] = (1, 1)
+        dp = jnp.pad(dp, p, mode="wrap" if grid.periodic[ax] else "edge")
+    corr = 0.0
+    for d in range(nd):
+        gd = (window(dp, d, 1, 0) - window(dp, d, 0, 1)) / grid.dx[d]
+        for ax in range(nd):
+            if ax != d:
+                gd = window(gd, ax, 1, 1)
+        f = bcoefs[d] * gd
+        corr = corr + (window(f, d, 1, 0) - window(f, d, 0, 1)) \
+            / grid.dx[d]
+    return corr * eb.fluid[..., None]
 
 
 def _eb_centroid_flux_correction(u_g, bcoefs, grid, eb, ng):
@@ -386,7 +443,7 @@ def compute_laps(tracer: jnp.ndarray, eta_faces_per_comp, cfg: IncfloConfig,
         if eb is not None:
             lap = lap * eb.fluid / jnp.where(eb.covered > 0.5, 1.0, eb.vfrac)
         out.append(lap)
-    return jnp.stack(out, axis=-1)
+    return comp_stack(out, axis=-1)
 
 
 def compute_divtau(vel: jnp.ndarray, vel_g: jnp.ndarray, rho: jnp.ndarray,
@@ -421,7 +478,7 @@ def compute_divtau(vel: jnp.ndarray, vel_g: jnp.ndarray, rho: jnp.ndarray,
         lap = -mg.cell_apply_inhom(vel[..., c], lev,
                                    velocity_bvals(cfg, c, dtype))
         parts.append(lap)
-    divtau = jnp.stack(parts, axis=-1)
+    divtau = comp_stack(parts, axis=-1)
 
     if (eb is not None and eb.wall_dist is not None
             and cfg.eb_wall_order == 2):
@@ -437,6 +494,11 @@ def compute_divtau(vel: jnp.ndarray, vel_g: jnp.ndarray, rho: jnp.ndarray,
         fcorr = _eb_centroid_flux_correction(vel_g, eta_b, grid, eb, ng)
         if fcorr is not None:
             corr = corr + fcorr
+        if os.environ.get("INCFLO_EB_CENTROID_STATE", "1") == "1":
+            scorr = _eb_centroid_state_correction(vel_g, eta_b, grid, eb,
+                                                  ng)
+            if scorr is not None:
+                corr = corr + scorr
         divtau = divtau + corr
 
     if cfg.use_tensor_solve:
@@ -499,7 +561,7 @@ def _transpose_term(vel_g: jnp.ndarray, eta_g1: jnp.ndarray, grid: Grid,
             flux = eta_f * dudx
             div = (window(flux, d, 1, 0) - window(flux, d, 0, 1)) / grid.dx[d]
             out[c] = out[c] + div
-    return jnp.stack(out, axis=-1)
+    return comp_stack(out, axis=-1)
 
 
 # ---------------------------------------------------------------------
@@ -744,6 +806,11 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
                                                  ng)
             if fcorr is not None:
                 corr = corr + fcorr
+            if os.environ.get("INCFLO_EB_CENTROID_STATE", "1") == "1":
+                scorr = _eb_centroid_state_correction(out_g, eta_b, grid,
+                                                      eb, ng)
+                if scorr is not None:
+                    corr = corr + scorr
             rhs = rhs + dt_diff * corr
             out, res, it = solver.solve_inhom(rhs, bvals, x0=out,
                                               rtol=rtol, atol=atol,

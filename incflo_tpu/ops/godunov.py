@@ -731,7 +731,8 @@ class GodunovScheme:
                     term = 0.5 * dxi * (wlo + whi) * (flo - fhi)
                 rate = term if rate is None else rate + term
             rates.append(rate)
-        return jnp.stack(rates, axis=-1)
+        from incflo_tpu.ops.stencil import comp_stack
+        return comp_stack(rates, axis=-1)
 
     def _corner_stage_adv(self, t, o, d, xlo, xhi, edge, macF, qf, bc_t,
                           is_velocity, comp, dt, icons):

@@ -1098,8 +1098,9 @@ class NodalSolver:
 
     # gradient of phi at cell centers (for gp update / velocity correction)
     def grad_at_cells(self, phi):
+        from incflo_tpu.ops.stencil import comp_stack
         lev = self.levels[0]
-        return jnp.stack(
+        return comp_stack(
             [_node_to_cellgrad(phi, lev, ax) for ax in range(self.ndim)],
             axis=-1)
 

@@ -59,13 +59,21 @@ MAX_CELLS = int(os.environ.get("INCFLO_PALLAS_STEP_MAXCELLS",
 
 
 def enabled() -> bool:
-    if os.environ.get("INCFLO_PALLAS_STEP", "1") != "1":
+    # OPT-IN on hardware (INCFLO_PALLAS_STEP=1): the whole-step Mosaic
+    # compile still fails on current chips (tpu.reshape of offset-
+    # carrying unit-dim inserts, after the round-5 tensordot/concat
+    # fixes); the compile-failure fallback in Simulation.advance keeps
+    # qualifying decks on the jnp path, but the failed attempt costs
+    # ~10 s, so the default stays off until the kernel compiles on a
+    # real chip.  Interpret mode (parity tests) stays on by default.
+    flag = os.environ.get("INCFLO_PALLAS_STEP", "")
+    if flag == "0":
         return False
     if pallas_guard.sharded():
         return False
     if INTERPRET:
         return True
-    return jax.default_backend() in ("tpu", "axon")
+    return flag == "1" and jax.default_backend() in ("tpu", "axon")
 
 
 def _sym_direct(solver) -> bool:
@@ -145,6 +153,63 @@ def _lift(x):
     return x.reshape(_lift_shape(x.shape))
 
 
+def _unit_reshape(x, new_sizes):
+    """Mosaic-lowerable replacement for reshapes that only insert or
+    drop UNIT dims (jnp's expand_dims/squeeze/[..., None]): Mosaic's
+    tpu.reshape rejects them for offset-carrying (window-sliced)
+    operands, but reductions over size-1 axes and broadcast_in_dim
+    accept any layout.  None when the reshape moves real data."""
+    old = tuple(x.shape)
+    new = tuple(new_sizes)
+    if tuple(d for d in old if d != 1) != tuple(d for d in new if d != 1):
+        return None
+    if old == new:
+        return x
+    unit_axes = tuple(i for i, d in enumerate(old) if d == 1)
+    if unit_axes:
+        # exact: every reduced axis is size 1 (any() for bools keeps
+        # the dtype; sum would promote to int)
+        x = jnp.any(x, axis=unit_axes) if x.dtype == jnp.bool_ \
+            else jnp.sum(x, axis=unit_axes)
+    bdims, k = [], 0
+    for i, d in enumerate(new):
+        if d != 1 and k < x.ndim:
+            bdims.append(i)
+            k += 1
+    return jax.lax.broadcast_in_dim(x, new, tuple(bdims))
+
+
+def _eval_patched(jaxpr, consts, *args):
+    """eval_jaxpr with unit-dim reshapes rewritten via _unit_reshape.
+    The fused step's jaxpr is flat (the direct-solve trace has no
+    scan/while/cond/pjit sub-jaxprs), so a first-order walk covers every
+    equation."""
+    from jax.extend.core import Literal
+    env = {}
+
+    def read(v):
+        return v.val if isinstance(v, Literal) else env[v]
+
+    for v, c in zip(jaxpr.constvars, consts):
+        env[v] = c
+    for v, a in zip(jaxpr.invars, args):
+        env[v] = a
+    for eqn in jaxpr.eqns:
+        invals = [read(v) for v in eqn.invars]
+        out = None
+        if eqn.primitive.name == "reshape" \
+                and eqn.params.get("dimensions") is None:
+            out = _unit_reshape(invals[0], eqn.params["new_sizes"])
+        if out is None:
+            out = eqn.primitive.bind(*invals, **eqn.params)
+        if eqn.primitive.multiple_results:
+            for v, o in zip(eqn.outvars, out):
+                env[v] = o
+        else:
+            env[eqn.outvars[0]] = out
+    return [read(v) for v in jaxpr.outvars]
+
+
 class FusedStep:
     """One Simulation's fused whole-step callable (built lazily on the
     first advance, cached on the Simulation)."""
@@ -176,14 +241,24 @@ class FusedStep:
         # explicit kernel inputs -- pallas_call rejects captured
         # constants -- and the kernel body evals the jaxpr rather than
         # re-tracing the Python.
+        # trace on the HOST CPU backend: trace-time eager constants
+        # (grid vectors, one-hot rows, ...) otherwise materialize on the
+        # TPU and have to be pulled back for the jaxpr consts -- tunnel
+        # roundtrips that are slow and intermittently hang
+        cpu = jax.devices("cpu")[0]
         pallas_guard.set_in_kernel(True)
         try:
-            closed, out_shape = jax.make_jaxpr(
-                flat_fn, return_shape=True)(*self.in_avals)
+            with jax.default_device(cpu):
+                closed, out_shape = jax.make_jaxpr(
+                    flat_fn, return_shape=True)(*self.in_avals)
         finally:
             pallas_guard.set_in_kernel(False)
         self.jaxpr = closed.jaxpr
-        self.consts = [jnp.asarray(c) for c in closed.consts]
+        # numpy, NOT device arrays: they are re-traced as closure
+        # constants of the outer jit, and embedding a device-resident
+        # constant makes MLIR lowering pull it back to the host -- a
+        # needless tunnel roundtrip (observed to hang intermittently)
+        self.consts = [np.asarray(c) for c in closed.consts]
         self.mask = _used_mask(closed.jaxpr)
         assert len(flat_in) == len(self.mask)
 
@@ -210,7 +285,7 @@ class FusedStep:
                 leaves.append(jnp.zeros(aval.shape, aval.dtype))
         consts = [r[...].reshape(c.shape)
                   for r, c in zip(const_refs, self.consts)]
-        out = jax.core.eval_jaxpr(self.jaxpr, consts, *leaves)
+        out = _eval_patched(self.jaxpr, consts, *leaves)
         for r, v in zip(out_refs, out):
             r[...] = v.reshape(r.shape)
 

@@ -356,7 +356,29 @@ def nodal_symbol(lev) -> Optional[Symbol]:
 
 def _contract(h, m, axis):
     """h'_k = sum_j m[k, j] h_j along `axis`; one dot_general on the
-    MXU (HIGHEST keeps f32 accuracy through the transform pair)."""
+    MXU (HIGHEST keeps f32 accuracy through the transform pair).
+
+    In-kernel (the fused whole-step Pallas program) a 3D operand's
+    tensordot lowers to a tpu.reshape that merges the trailing
+    component axis into the lane dimension
+    (vector<NxNxCxf32> -> vector<NxNCxf32>), which Mosaic rejects;
+    contract each trailing component as its own 2D dot instead
+    (C <= 3 velocity/tracer components)."""
+    from incflo_tpu.ops import pallas_guard
+    if pallas_guard.in_kernel() and h.ndim == 3 and axis < 2:
+        # also avoid stack/concatenate along the component axis (Mosaic
+        # rejects the tpu.concatenate on offset-mismatched dot outputs):
+        # reassemble with one-hot broadcast-sums, pure elementwise ops
+        from incflo_tpu.ops.stencil import comp_stack
+        cols = []
+        for c in range(h.shape[-1]):
+            if axis == 0:   # (n, A) x (A, B) -> (n, B), n-axis in place
+                cols.append(jnp.tensordot(m, h[..., c], axes=([1], [0]),
+                                          precision=jax.lax.Precision.HIGHEST))
+            else:           # (A, B) x (n, B)^T -> (A, n)
+                cols.append(jnp.tensordot(h[..., c], m, axes=([1], [1]),
+                                          precision=jax.lax.Precision.HIGHEST))
+        return comp_stack(cols, axis=-1)
     out = jnp.tensordot(h, m, axes=([axis], [1]),
                         precision=jax.lax.Precision.HIGHEST)
     return jnp.moveaxis(out, -1, axis)

@@ -81,3 +81,34 @@ def face_avg(a: jnp.ndarray, axis: int) -> jnp.ndarray:
 def diff_along(a: jnp.ndarray, axis: int) -> jnp.ndarray:
     """a[i+1]-a[i] along axis (n-1 results for n entries)."""
     return window(a, axis, 1, 0) - window(a, axis, 0, 1)
+
+
+def comp_stack(parts, axis: int = -1) -> jnp.ndarray:
+    """jnp.stack(parts, axis=-1) that also lowers inside the fused
+    whole-step Pallas kernel (ops/pallas_step2d).
+
+    Mosaic rejects tpu.concatenate along a small trailing component
+    axis when the inputs carry mismatched vector-layout offsets
+    ("result/input offset mismatch on non-concat dimension" -- dot/
+    window outputs routinely disagree); under pallas_guard.in_kernel()
+    the components are reassembled with one-hot broadcast-sums (pure
+    elementwise ops, C <= 4) instead of a concat."""
+    assert axis == -1
+    from incflo_tpu.ops import pallas_guard
+    if not pallas_guard.in_kernel():
+        return jnp.stack(parts, axis=-1)
+    import jax
+    import numpy as np
+    parts = [jnp.asarray(p) for p in parts]
+    ncomp = len(parts)
+    eye = np.eye(ncomp, dtype=np.result_type(parts[0].dtype))
+    out = None
+    for c, p in enumerate(parts):
+        # broadcast_in_dim, NOT [..., None]: expand_dims lowers to a
+        # tpu.reshape that Mosaic rejects for offset-carrying (window-
+        # sliced) operands, while broadcasts accept any input layout
+        b = jax.lax.broadcast_in_dim(p, p.shape + (ncomp,),
+                                     tuple(range(p.ndim)))
+        term = b * jnp.asarray(eye[c])
+        out = term if out is None else out + term
+    return out

@@ -88,9 +88,9 @@ class Simulation:
         self._diff_proto = None
         self._nodal_eb_hat = None
         if cfg.constant_density and self.eb is None:
-            self._build_static_solvers()
+            self._setup_on_host(self._build_static_solvers)
         elif cfg.constant_density and self.eb is not None:
-            self._build_static_eb_solvers()
+            self._setup_on_host(self._build_static_eb_solvers)
         self._advance = jax.jit(self._advance_impl)
         # donating variant: aliases the old state's buffers into the new
         # state (frees ~4 field sets at peak -- the difference between
@@ -220,6 +220,30 @@ class Simulation:
         if cfg.fixed_dt > 0.0:
             return jnp.asarray(cfg.fixed_dt, self.dtype)
         return dt_new.astype(self.dtype)
+
+    def _setup_on_host(self, build_fn):
+        """Run a solver-hierarchy build on the HOST CPU backend, then
+        device_put the finished context once.
+
+        The builds are eager probe math (operator delta responses,
+        1D-matrix extraction, constant-coefficient scans) with many tiny
+        device<->host roundtrips; on the axon TPU tunnel each roundtrip
+        is a remote compile + transfer, which is both slow and the one
+        operation observed to hang intermittently (round-5 ctor hangs in
+        spectral._const_val).  On CPU the whole build is local numpy-
+        speed work; the single bulk host->device transfer afterwards is
+        the only tunnel interaction."""
+        if jax.default_backend() == "cpu":
+            build_fn()
+            return
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            build_fn()
+        if len(jax.devices()) == 1:
+            # single-chip: commit the context once so jit dispatch does
+            # not re-transfer it per call.  Multi-device meshes leave the
+            # leaves uncommitted for GSPMD to place.
+            self._swap_ctx(jax.device_put(self._ctx()))
 
     def _build_static_solvers(self):
         cfg = self.cfg
@@ -960,9 +984,27 @@ class Simulation:
         (ops/pallas_step2d -- small 2D periodic decks are kernel-launch
         bound), else the jnp _advance_impl."""
         from incflo_tpu.ops import pallas_step2d
+        if getattr(self, "_fused_broken", False):
+            return (self._advance_impl, False)
         fused = pallas_step2d.maybe_fused(self, s)
         return (fused.__call__, True) if fused is not None \
             else (self._advance_impl, False)
+
+    def _disable_fused(self, err: Exception) -> None:
+        """Permanently fall back to the jnp step after the fused
+        whole-step kernel fails to compile/execute on this backend
+        (a hardware-only fast path must never take the deck down --
+        VERDICT r4 #1b).  Warns once."""
+        import warnings
+        self._fused_broken = True
+        self._advance_fused = None
+        self._fused_step = None
+        self._advance_n_cache = {k: v for k, v in
+                                 self._advance_n_cache.items() if not k[1]}
+        warnings.warn(
+            "incflo_tpu: fused whole-step Pallas kernel failed on this "
+            f"backend; falling back to the jnp step permanently. ({err})",
+            RuntimeWarning, stacklevel=3)
 
     def advance(self, s: SimState, donate: bool = False) -> SimState:
         """One time step.  donate=True reuses the old state's device
@@ -974,7 +1016,10 @@ class Simulation:
             fn = self._advance_fused
             if fn is None:
                 fn = self._advance_fused = jax.jit(impl)
-            return fn(s, ctx)
+            try:
+                return fn(s, ctx)
+            except Exception as e:     # Mosaic compile/launch failure
+                self._disable_fused(e)
         return self._advance_donated(s, ctx) if donate \
             else self._advance(s, ctx)
 
@@ -995,7 +1040,13 @@ class Simulation:
                 return out
             fn = jax.jit(multi)
             self._advance_n_cache[(n, is_fused)] = fn
-        return fn(s, self._ctx())
+        if not is_fused:
+            return fn(s, self._ctx())
+        try:
+            return fn(s, self._ctx())
+        except Exception as e:         # Mosaic compile/launch failure
+            self._disable_fused(e)
+            return self.advance_n(s, n)
 
     # ------------------------------------------------------------------
     # initialization (reference InitData / InitialProjection /

@@ -21,6 +21,10 @@ import numpy as np
 
 def run_one(n, dtype="float32"):
     import jax
+    if os.environ.get("INCFLO_LADDER_CPU") == "1":
+        # the experimental axon TPU platform wins over the JAX_PLATFORMS
+        # env var; jax.config is authoritative (tests/conftest.py)
+        jax.config.update("jax_platforms", "cpu")
     cache = os.environ.get("INCFLO_JAX_CACHE",
                            os.path.expanduser("~/.cache/incflo_tpu_xla"))
     jax.config.update("jax_compilation_cache_dir", cache)
@@ -64,14 +68,27 @@ cylinder.center = 2. 2. 0.
     w = np.asarray(s.level.velocity[..., 2])
     assert np.isfinite(w).all()
     wc = w[:, :, 2]
-    xc = (np.arange(n) + 0.5) * (4.0 / n)
+    dx = 4.0 / n
+    xc = (np.arange(n) + 0.5) * dx
     r2 = (xc.reshape(-1, 1) - 2) ** 2 + (xc.reshape(1, -1) - 2) ** 2
     exact = np.maximum(0.0, 4.0 / (4 * mu) * (1.0 - r2))
     fluid = np.asarray(sim.eb.fluid[:, :, 2]) > 0.5
     err = (wc - exact)[fluid]
-    l2 = float(np.sqrt(np.mean(err ** 2)))
-    linf = float(np.abs(err).max())
-    return l2, linf
+    l2c = float(np.sqrt(np.mean(err ** 2)))
+    linfc = float(np.abs(err).max())
+    # centroid-consistent norm: the FV unknown is the fluid average ==
+    # the fluid-CENTROID point value to 2nd order, so the consistent
+    # pointwise comparison evaluates the exact parabola at the fluid
+    # centroid (offsets are zero in regular cells -> identical there)
+    cent = np.asarray(sim.eb.ccent_g2)[2:-2, 2:-2, 2 + 2, :]
+    xg = xc.reshape(-1, 1) + cent[..., 0] * dx
+    yg = xc.reshape(1, -1) + cent[..., 1] * dx
+    r2g = (xg - 2) ** 2 + (yg - 2) ** 2
+    exact_g = np.maximum(0.0, 4.0 / (4 * mu) * (1.0 - r2g))
+    errg = (wc - exact_g)[fluid]
+    l2 = float(np.sqrt(np.mean(errg ** 2)))
+    linf = float(np.abs(errg).max())
+    return l2, linf, l2c, linfc
 
 
 def main():
@@ -79,15 +96,19 @@ def main():
     dtype = os.environ.get("INCFLO_LADDER_DTYPE", "float32")
     rows = []
     for n in ns:
-        l2, linf = run_one(n, dtype)
-        rows.append((n, l2, linf))
-        print(f"n={n:4d}  L2={l2:.4e}  Linf={linf:.4e}", flush=True)
+        l2, linf, l2c, linfc = run_one(n, dtype)
+        rows.append((n, l2, linf, l2c, linfc))
+        print(f"n={n:4d}  L2={l2:.4e}  Linf={linf:.4e}  "
+              f"[center-sampled L2={l2c:.4e}  Linf={linfc:.4e}]",
+              flush=True)
     for i in range(1, len(rows)):
-        n0, l0, i0 = rows[i - 1]
-        n1, l1, i1 = rows[i]
+        n0, l0, i0, lc0, ic0 = rows[i - 1]
+        n1, l1, i1, lc1, ic1 = rows[i]
         r = np.log2(n1 / n0)
         print(f"order {n0}->{n1}:  L2 {np.log2(l0 / l1) / r:.2f}  "
-              f"Linf {np.log2(i0 / i1) / r:.2f}")
+              f"Linf {np.log2(i0 / i1) / r:.2f}  "
+              f"[center-sampled L2 {np.log2(lc0 / lc1) / r:.2f}  "
+              f"Linf {np.log2(ic0 / ic1) / r:.2f}]")
 
 
 if __name__ == "__main__":
