@@ -479,6 +479,16 @@ class GodunovScheme:
             forces = (inner(forces_g, 1, self.nd)
                       if forces_g is not None else None)
             return pg.predict(self.grid, vel, forces, dt, self.use_ppm)
+        if gmacphi is None and not self.uft:
+            info = pg.shard_info(self.grid, vel_g.dtype,
+                                 pg.N_LIVE_PREDICT)
+            if info is not None:
+                from incflo_tpu.ops.stencil import inner
+                vel = inner(vel_g, ng, self.nd)
+                forces = (inner(forces_g, 1, self.nd)
+                          if forces_g is not None else None)
+                return pg.predict_sharded(self.grid, vel, forces, dt,
+                                          self.use_ppm, info)
         return self._predict(vel_g, forces_g, dt, ng, bcrecs, gmacphi)
 
     def _predict(self, vel_g, forces_g, dt, ng, bcrecs, gmacphi=None):
@@ -643,6 +653,16 @@ class GodunovScheme:
                       if forces_g is not None else None)
             return pg.advect(self.grid, q, umac, forces, dt,
                              tuple(int(i) for i in iconserv), self.use_ppm)
+        if not self.uft:
+            info = pg.shard_info(self.grid, q_g.dtype, pg.N_LIVE_ADVECT)
+            if info is not None:
+                from incflo_tpu.ops.stencil import inner
+                q = inner(q_g, ng, self.nd)
+                forces = (inner(forces_g, 1, self.nd)
+                          if forces_g is not None else None)
+                return pg.advect_sharded(
+                    self.grid, q, umac, forces, dt,
+                    tuple(int(i) for i in iconserv), self.use_ppm, info)
         g = self.grid
         nd = self.nd
         ncomp = q_g.shape[-1]

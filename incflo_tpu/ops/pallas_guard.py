@@ -12,6 +12,21 @@ drivers that shard the simulation state flip this flag instead
 
 _sharded = False
 
+# the driver's jax.sharding.Mesh, registered alongside set_sharded so
+# kernels that DO support sharding (shard_map halo-exchange wrappers,
+# ops/pallas_godunov.predict_sharded) can build their collectives; None
+# when the run is unsharded or the driver never registered one
+_mesh = None
+
+
+def set_mesh(mesh) -> None:
+    global _mesh
+    _mesh = mesh
+
+
+def mesh():
+    return _mesh
+
 # set while TRACING the fused whole-step kernel (ops/pallas_step2d):
 # code under this flag must emit only Mosaic-lowerable primitives --
 # no lax.while_loop (data-dependent trip counts), no FFT, no nested

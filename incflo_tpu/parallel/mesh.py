@@ -66,9 +66,11 @@ def level_specs(lvl: LevelState, grid_ndim: int, mesh: Mesh) -> LevelState:
 
 def sim_state_shardings(state: SimState, mesh: Mesh) -> SimState:
     if np.prod(mesh.devices.shape) > 1:
-        # whole-array Pallas kernels must not see sharded operands
+        # whole-array Pallas kernels must not see sharded operands;
+        # kernels with shard_map wrappers read the registered mesh
         from incflo_tpu.ops import pallas_guard
         pallas_guard.set_sharded(True)
+        pallas_guard.set_mesh(mesh)
     ndim = state.level.density.ndim
     lvl = level_specs(state.level, ndim, mesh)
     rep = P()

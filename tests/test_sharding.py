@@ -293,3 +293,69 @@ def test_sharded_fastdiag_engages(mesh8):
     assert fw < sw, (
         f"fast-diag did not reduce iterative solves under sharding: "
         f"{fw} while-occurrences with spectral on vs {sw} off")
+
+
+def _cfg_shard_pallas():
+    """3D periodic Godunov deck sized for the sharded Pallas kernels:
+    nx=64 over an 8-way x-only mesh -> nx_local=8, merged lane dim
+    ny*nz=128 (the kernels' m%128 contract)."""
+    return IncfloConfig.from_text("""
+amr.n_cell = 64 16 8
+geometry.prob_lo = 0. 0. 0.
+geometry.prob_hi = 1. 0.25 0.125
+geometry.is_periodic = 1 1 1
+incflo.probtype = 21
+incflo.mu = 0.0002
+incflo.cfl = 0.9
+incflo.init_shrink = 1.0
+incflo.use_godunov = true
+incflo.diffusion_type = 1
+incflo.initial_iterations = 0
+incflo.do_initial_proj = 0
+""")
+
+
+def test_sharded_pallas_godunov_kernels(monkeypatch):
+    """VERDICT r4 Next #4: the sharded trace KEEPS the Pallas Godunov
+    kernels (shard_map + ppermute halo exchange) and matches the
+    unsharded whole-array-kernel run to 1e-11.  Runs the kernels in
+    interpret mode on an 8x1 x-only CPU mesh."""
+    from jax.sharding import Mesh
+    from incflo_tpu.ops import pallas_godunov as pg
+    from incflo_tpu.ops import pallas_guard
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.setattr(pg, "INTERPRET", True)
+    mesh_x = Mesh(np.asarray(devices[:8]).reshape(8, 1), ("dx", "dy"))
+    cfg = _cfg_shard_pallas()
+    sim = Simulation(cfg)
+    s0 = sim.init_state()
+    prev_sh, prev_mesh = pallas_guard.sharded(), pallas_guard.mesh()
+    try:
+        pallas_guard.set_sharded(False)
+        pallas_guard.set_mesh(None)
+        # unsharded reference: the whole-array Pallas kernels
+        assert pg.enabled() and pg.supported(sim.grid,
+                                             s0.level.velocity.dtype)
+        s_ref = s0
+        for _ in range(2):
+            s_ref = sim.advance(s_ref)
+
+        shardings = pmesh.sim_state_shardings(s0, mesh_x)
+        assert pallas_guard.sharded()
+        assert pg.shard_info(sim.grid, s0.level.velocity.dtype) \
+            is not None
+        # the sharded trace still contains the Pallas kernels
+        jaxpr = jax.make_jaxpr(lambda s: sim._advance_impl(s))(s0)
+        assert "pallas_call" in str(jaxpr)
+
+        s_sh = jax.tree.map(jax.device_put, s0, shardings)
+        step = jax.jit(sim._advance_impl, in_shardings=(shardings,),
+                       out_shardings=shardings)
+        for _ in range(2):
+            s_sh = step(s_sh)
+        _assert_state_close(s_ref, s_sh)
+    finally:
+        pallas_guard.set_sharded(prev_sh)
+        pallas_guard.set_mesh(prev_mesh)
