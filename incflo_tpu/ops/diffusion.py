@@ -569,7 +569,7 @@ def _transpose_term(vel_g: jnp.ndarray, eta_g1: jnp.ndarray, grid: Grid,
 # ---------------------------------------------------------------------
 
 def _tensor_pcg(x0, rhs, bvals, solver, dt_diff, eta_g1, grid, ng,
-                grow_fn, grow_hom_fn, eb, tol, maxiter):
+                grow_fn, grow_hom_fn, eb, tol, maxiter, with_res=False):
     """CG on the full coupled tensor Helmholtz operator
 
         A(u) = aniso_helmholtz(u) - dt * cross_transpose(u)
@@ -629,8 +629,11 @@ def _tensor_pcg(x0, rhs, bvals, solver, dt_diff, eta_g1, grid, ng,
         # fused-kernel mode: Mosaic needs static trip counts -- run a
         # FIXED number of masked CG steps (each step freezes once the
         # best residual is under tol, so converged answers match the
-        # adaptive loop's to its tolerance)
-        k_fix = int(os.environ.get("INCFLO_TENSOR_K", "8"))
+        # adaptive loop's to its tolerance).  12 trips: the f64 sweep in
+        # tests/test_tensor_fixed_trip.py showed 8 can miss the 1e-11
+        # reference tolerance by ~1.6x at mild stiffness; converged
+        # steps freeze, so extra trips only cost trace size
+        k_fix = int(os.environ.get("INCFLO_TENSOR_K", "12"))
         z0 = prec(r0)
         state0 = (x0, r0, z0, dot(r0, z0), x0, res0, jnp.array(0))
 
@@ -662,7 +665,7 @@ def _tensor_pcg(x0, rhs, bvals, solver, dt_diff, eta_g1, grid, ng,
         state = state0
         for _i in range(k_fix):
             state = body_fix(_i, state)
-        return state[4]
+        return (state[4], state[5]) if with_res else state[4]
 
     def run(args):
         x0, r0, res0 = args
@@ -693,10 +696,12 @@ def _tensor_pcg(x0, rhs, bvals, solver, dt_diff, eta_g1, grid, ng,
             bad = jnp.where(improved, 0, bad + 1)
             return x, r, p, rz_new, xb, rb, bad, it + 1
 
-        _, _, _, _, x, _, _, _ = _jax.lax.while_loop(cond, body, state0)
-        return x
+        _, _, _, _, x, rb, _, _ = _jax.lax.while_loop(cond, body, state0)
+        return x, rb
 
-    return _jax.lax.cond(res0 > tol, run, lambda a: a[0], (x0, r0, res0))
+    x, rb = _jax.lax.cond(res0 > tol, run, lambda a: (a[0], a[2]),
+                          (x0, r0, res0))
+    return (x, rb) if with_res else x
 
 
 def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
@@ -704,7 +709,7 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
                      rtol=None, atol=None, eb=None, eta_g1=None,
                      grow_fn=None, ng=None, grow_hom_fn=None,
                      solver_bc_override=None, bvals_override=None,
-                     prebuilt_solver=None):
+                     prebuilt_solver=None, return_tensor_res=False):
     """(rho - dt div(eta (grad + grad^T))) u = rho u*  (reference
     DiffusionTensorOp::diffuse_velocity / diffuse_vel_components).
 
@@ -825,11 +830,17 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
             # damped-Richardson defect loop (round 1) stalls at ~1e-4
             # relative residual when dt*eta/dx^2 = O(1); CG converges to
             # the main solve's tolerance (VERDICT r1 Weak #6).
+            cg_tol = jnp.maximum(rtol * mg._maxnorm(rhs), atol)
             out = _tensor_pcg(out, rhs, bvals, solver, dt_diff, eta_g1,
                               grid, ng, grow_fn, grow_hom_fn, eb,
-                              tol=jnp.maximum(rtol * mg._maxnorm(rhs),
-                                              atol),
-                              maxiter=cfg.tensor_mg_maxiter)
+                              tol=cg_tol,
+                              maxiter=cfg.tensor_mg_maxiter,
+                              with_res=return_tensor_res)
+            if return_tensor_res:
+                out, cg_res = out
+                if eb is not None:
+                    out = out * eb.fluid[..., None]
+                return out, cg_res, cg_tol
     else:
         comps = []
         for c in range(grid.ndim):
@@ -848,6 +859,10 @@ def diffuse_velocity(vel: jnp.ndarray, rho: jnp.ndarray, eta_faces,
         out = jnp.stack(comps, axis=-1)
     if eb is not None:
         out = out * eb.fluid[..., None]
+    if return_tensor_res:
+        # no tensor CG ran on this path: trivially within tolerance
+        z = jnp.zeros((), out.dtype)
+        return out, z, jnp.full((), jnp.inf, out.dtype)
     return out
 
 

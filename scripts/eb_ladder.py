@@ -36,7 +36,7 @@ def run_one(n, dtype="float32"):
     from incflo_tpu.simulation import Simulation
 
     mu = 1.0
-    dt = 0.05
+    dt = float(os.environ.get("INCFLO_LADDER_DT", "0.05"))
     steps = int(round(4.0 / dt))
     text = f"""
 amr.n_cell = {n} {n} 4
